@@ -1,0 +1,218 @@
+package graft.cdc
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A file group within a snapshot: parquet files written under one
+  * physical payload-schema era. Per-group schema ids emulate Iceberg's
+  * per-file schema tracking so WIDEN (int->long) across eras never
+  * relies on parquet `mergeSchema` (which cannot widen). */
+final case class FileGroup(dir: String, schemaVersion: Int, kind: String) // kind: base | delta
+
+/** One committed table snapshot (manifest). Versions are monotonically
+  * increasing; the manifest with the highest version is current.
+  * `epochId` implements the idempotent exactly-once commit: an upsert
+  * whose epoch id is <= the committed high-water mark is a no-op replay.
+  */
+final case class Snapshot(
+    version: Long,
+    epochId: Long,
+    schemaVersion: Int,
+    groups: Seq[FileGroup],
+    totalDeltaGroups: Int)
+
+/** Self-managed snapshot/manifest lake table with MERGE-upsert semantics
+  * (merge-on-read + background compaction), built because no Iceberg
+  * runtime jar ships in /opt/spark/jars (SURVEY.md §7.2 fallback: same
+  * commit/merge semantics, swappable for Iceberg `writeTo`/MERGE INTO on
+  * a real cluster).
+  *
+  * Layout:
+  *   root/manifests/v<00000000N>.json     (atomic-rename committed)
+  *   root/data/<uuid>/bucket=NNN/ (parquet files)
+  *
+  * Scale design:
+  *  - Data files are hash-bucketed on the key `(repo, path)` into
+  *    `numBuckets` directories — the analogue of Iceberg bucket
+  *    partitioning; per-bucket merge is the unit of parallel work and a
+  *    storage-partitioned join on a real cluster.
+  *  - Upserts append reduced per-key delta groups (merge-on-read, like
+  *    Iceberg v2 delete files: tombstones ride along as op='D' rows);
+  *    no per-batch rewrite of the base — the batch-size-independent hot
+  *    path the 10^10-event design point requires.
+  *  - Reads/compaction reconstruct last-writer-wins per key with a
+  *    single hash-aggregate (`max_by(struct(...), lsn)`), which Spark
+  *    executes with map-side partial aggregation — hot-repo skew
+  *    collapses before the shuffle.
+  *  - Reference analogue: the reference writes each rank's slab at
+  *    disjoint global offsets into a shared file, idempotent by position
+  *    (coverage/io/netcdf/DefaultWriter.py:41,230-240); here position =
+  *    key bucket, idempotence = epoch-keyed snapshot commit.
+  */
+final class LakeTable(val root: String, val numBuckets: Int = 32) {
+  private val mapper = new ObjectMapper()
+  private def manifestDir = Paths.get(root, "manifests")
+  private def dataDir = Paths.get(root, "data")
+
+  def init(): Unit = {
+    Files.createDirectories(manifestDir)
+    Files.createDirectories(dataDir)
+  }
+
+  // ---- manifest I/O -------------------------------------------------
+
+  private def manifestPath(version: Long): Path =
+    manifestDir.resolve(f"v$version%09d.json")
+
+  def latest(): Option[Snapshot] = {
+    if (!Files.isDirectory(manifestDir)) return None
+    val versions = Files.list(manifestDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq
+    if (versions.isEmpty) None else Some(readManifest(versions.max))
+  }
+
+  private def readManifest(version: Long): Snapshot = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(version)))
+    val groups = node.get("groups").elements().asScala.map { g =>
+      FileGroup(g.get("dir").asText(), g.get("schemaVersion").asInt(), g.get("kind").asText())
+    }.toSeq
+    Snapshot(
+      node.get("version").asLong(),
+      node.get("epochId").asLong(),
+      node.get("schemaVersion").asInt(),
+      groups,
+      groups.count(_.kind == "delta"))
+  }
+
+  /** Atomically commit a snapshot manifest (write tmp + ATOMIC_MOVE —
+    * the rename is the commit point; a crash before it leaves only
+    * unreferenced data files, never a partially visible snapshot). */
+  private def commitManifest(s: Snapshot): Unit = {
+    val obj: ObjectNode = mapper.createObjectNode()
+    obj.put("version", s.version)
+    obj.put("epochId", s.epochId)
+    obj.put("schemaVersion", s.schemaVersion)
+    val arr: ArrayNode = obj.putArray("groups")
+    s.groups.foreach { g =>
+      val gn = arr.addObject()
+      gn.put("dir", g.dir); gn.put("schemaVersion", g.schemaVersion); gn.put("kind", g.kind)
+    }
+    val tmp = manifestDir.resolve(s".tmp-${UUID.randomUUID()}.json")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(obj))
+    Files.move(tmp, manifestPath(s.version), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---- columns ------------------------------------------------------
+
+  /** Hash bucket of the key — MUST match across writers and eras. */
+  def bucketCol = pmod(xxhash64(col("repo"), col("path")), lit(numBuckets.toLong)).as("bucket")
+
+  private def stateCols(schemaVersion: Int): Seq[String] = {
+    val payload = SchemaRegistry.physicalSchema(schemaVersion).fieldNames.toSeq
+    Seq("repo", "path", "op", "lsn", "ts") ++ payload
+  }
+
+  // ---- upsert (merge-on-read) --------------------------------------
+
+  /** Append one reduced, normalized batch as a delta file group and
+    * commit snapshot `epochId`. The batch must be one row per key
+    * (last-writer-wins already reduced, tombstones as op='D').
+    * Returns false iff the epoch was already committed (idempotent
+    * replay after restart — the written files of the aborted attempt
+    * stay unreferenced). */
+  def upsert(batch: DataFrame, epochId: Long, batchSchemaVersion: Int): Boolean = {
+    init()
+    val prev = latest()
+    if (prev.exists(_.epochId >= epochId)) return false
+
+    val groupDir = s"data/${UUID.randomUUID().toString.take(12)}"
+    val cols = stateCols(batchSchemaVersion)
+    batch
+      .select((cols.map(col) :+ bucketCol): _*)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$root/$groupDir")
+
+    // an empty epoch still advances the commit high-water mark, but a
+    // file-less group must not be referenced (unreadable schema)
+    val wroteFiles = Files.walk(Paths.get(root, groupDir)).iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".parquet"))
+    val newSchemaVersion = math.max(prev.map(_.schemaVersion).getOrElse(1), batchSchemaVersion)
+    val groups = prev.map(_.groups).getOrElse(Nil) ++
+      (if (wroteFiles) Seq(FileGroup(groupDir, batchSchemaVersion, "delta")) else Nil)
+    commitManifest(Snapshot(
+      prev.map(_.version).getOrElse(0L) + 1L, epochId, newSchemaVersion, groups,
+      groups.count(_.kind == "delta")))
+    true
+  }
+
+  // ---- read (merge-on-read reconstruction) -------------------------
+
+  /** All live rows incl. tombstones, aligned to the current registry
+    * schema. One scan per schema era, then unionByName. */
+  private def rawRows(spark: SparkSession): Option[DataFrame] = {
+    latest().flatMap { s =>
+      val dfs = s.groups.map { g =>
+        SchemaRegistry.alignToCurrent(spark.read.parquet(s"$root/${g.dir}"))
+      }
+      dfs.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }
+  }
+
+  /** Last-writer-wins reconstruction per key; deletes drop out. */
+  def read(spark: SparkSession): DataFrame = {
+    val payload = SchemaRegistry.currentPayloadNames
+    val valueCols = Seq("op", "lsn", "ts") ++ payload
+    rawRows(spark) match {
+      case None =>
+        val fields = Seq(
+          StructField("repo", StringType), StructField("path", StringType),
+          StructField("op", StringType), StructField("lsn", LongType),
+          StructField("ts", TimestampType)) ++
+          SchemaRegistry.fields.map(f => StructField(f.current.name, f.current.dataType))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+      case Some(df) =>
+        df.groupBy(col("repo"), col("path"))
+          .agg(max_by(struct(valueCols.map(col): _*), col("lsn")).as("s"))
+          .select(col("repo") +: col("path") +: valueCols.map(c => col(s"s.$c").as(c)): _*)
+          .filter(col("op") =!= "D")
+          .drop("op")
+    }
+  }
+
+  /** Rewrite all groups into a single compacted base group at the
+    * current schema version (tombstones dropped), committed as a new
+    * snapshot with the same epoch high-water mark. The per-batch hot
+    * path never pays this; it runs when delta groups exceed a
+    * threshold (Pipeline) or explicitly. */
+  def compact(spark: SparkSession): Unit = {
+    latest().foreach { s =>
+      val state = read(spark).withColumn("op", lit("U"))
+      val groupDir = s"data/${UUID.randomUUID().toString.take(12)}-base"
+      // compaction rewrites at the current registry schema regardless of
+      // the eras the deltas were written under
+      val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
+      state
+        .select((cols.map(col) :+ bucketCol): _*)
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$root/$groupDir")
+      val wroteFiles = Files.walk(Paths.get(root, groupDir)).iterator().asScala
+        .exists(_.getFileName.toString.endsWith(".parquet"))
+      commitManifest(Snapshot(
+        s.version + 1L, s.epochId, s.schemaVersion,
+        if (wroteFiles) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil, 0))
+    }
+  }
+
+  def deltaGroupCount: Int = latest().map(_.totalDeltaGroups).getOrElse(0)
+}

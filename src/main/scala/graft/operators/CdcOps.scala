@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC-shaped operators over the `events` stream table: sessionization,
+  * per-epoch lineage ranges (the audit-table shape), and ordered linear
+  * interpolation between neighbors (InterpolatorCore.py:87-130 as
+  * lag/lead Column arithmetic).
+  */
+object CdcOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sessionization: gap > 30 min starts a new session (lag + cumulative
+    // sum over an ordered per-key window — single shuffle on user_id)
+    "q31_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sess_value"))
+    }),
+
+    // per-epoch lineage ranges — the audit-table aggregate
+    // (epoch = event_id div 100): min/max LSN + row count per epoch
+    "q32_lineage_ranges" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(floor(col("event_id") / lit(100.0)).as("epoch"))
+        .agg(
+          min(col("event_id")).as("min_lsn"),
+          max(col("event_id")).as("max_lsn"),
+          count(lit(1)).as("rows_in_epoch"))
+    }),
+
+    // ordered linear interpolation: value at each event re-estimated
+    // from its per-key neighbors (lag/lead arithmetic — the
+    // time_1d_interpolation analogue, InterpolatorCore.py:87-130)
+    "q33_interp_linear" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("pv", lag(col("value"), 1).over(w))
+        .withColumn("nv", lead(col("value"), 1).over(w))
+        .withColumn("pt", lag(col("ts"), 1).over(w))
+        .withColumn("nt", lead(col("ts"), 1).over(w))
+        .filter(col("pv").isNotNull && col("nv").isNotNull && col("nt") > col("pt"))
+        .select(
+          col("event_id"),
+          round(
+            col("pv") + (col("nv") - col("pv")) *
+              (unix_micros(col("ts").cast("timestamp")) - unix_micros(col("pt").cast("timestamp"))).cast("double") /
+              (unix_micros(col("nt").cast("timestamp")) - unix_micros(col("pt").cast("timestamp"))).cast("double"),
+            6).as("interp_value"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q31_sessionize" ->
+      """SELECT user_id, sess_id, count(*) AS n_events,
+         round(sum(value), 4) AS sess_value FROM (
+           SELECT user_id, value,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+           FROM (
+             SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+             FROM events))
+         GROUP BY user_id, sess_id""",
+    "q32_lineage_ranges" ->
+      """SELECT CAST(floor(event_id / 100.0) AS BIGINT) AS epoch,
+         min(event_id) AS min_lsn, max(event_id) AS max_lsn,
+         count(*) AS rows_in_epoch
+         FROM events GROUP BY 1""",
+    "q33_interp_linear" ->
+      """SELECT event_id,
+         round(pv + (nv - pv) *
+           CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE) /
+           CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE), 6) AS interp_value
+         FROM (
+           SELECT event_id, ts, value,
+             lag(value) OVER w AS pv, lead(value) OVER w AS nv,
+             lag(ts) OVER w AS pt, lead(ts) OVER w AS nt
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         WHERE pv IS NOT NULL AND nv IS NOT NULL AND nt > pt"""
+  )
+}

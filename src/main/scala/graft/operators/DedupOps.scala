@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFns._
+
+/** Deduplication family over `documents`: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. The scale path is always
+  * shingle -> signature -> band-bucket join (candidate generation is an
+  * equi-join on bucket ids, NEVER an all-pairs product); the exact
+  * Jaccard variant is the quality oracle the approximate ones are
+  * spec-tested against.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Distinct word-level 3-gram shingles per doc (doc_id, shingle). */
+  private def shingles(d: DataFrame): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    d.select(col("doc_id"),
+      when(size(ws) >= 3,
+        transform(sequence(lit(0), size(ws) - 3), i =>
+          concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+        .otherwise(array()).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .distinct()
+  }
+
+  val MinhashK = 16
+  val Bands = 4 // 4 rows per band
+
+  /** MinHash signature: for each of k hash families, the min xxhash64
+    * over the doc's shingles (computed with higher-order functions over
+    * the shingle array — one pass, no explode). */
+  private def signatures(d: DataFrame): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val sh = when(size(ws) >= 3,
+      transform(sequence(lit(0), size(ws) - 3), i =>
+        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+      .otherwise(array())
+    d.select(col("doc_id"),
+      transform(sequence(lit(0), lit(MinhashK - 1)), k =>
+        aggregate(sh, lit(Long.MaxValue), (acc, s) => least(acc, xxhash64(s, k)))).as("sig"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: hash-groupBy on full text
+    "q24_dedup_exact" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_doc_id"))
+        .filter(col("cnt") >= 1)
+    }),
+
+    // exact n-gram Jaccard near-dup pairs: explode shingles, equi-join
+    // on shingle (candidate pairs share >= 1 shingle), count overlap,
+    // Jaccard = inter / (|A| + |B| - inter)
+    "q25_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir)).localCheckpoint(true)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val inter = a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"), 6))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
+
+    // MinHash + LSH banding: candidates = pairs sharing a band bucket
+    // (equi-join on (band, bucket-hash)); est similarity = fraction of
+    // matching minhash components. Hash-dependent -> spec-tested vs the
+    // exact Jaccard oracle, rows-only driver check.
+    "q26_dedup_minhash_lsh" -> ((s, dir) => {
+      val sig = signatures(docs(s, dir)).localCheckpoint(true)
+      val rowsPerBand = MinhashK / Bands
+      val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)), bnd =>
+          xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)), bnd))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
+        .withColumn("est_sim",
+          round(aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / MinhashK.toDouble, 4))
+        .filter(col("est_sim") >= 0.25)
+        .select(col("doc_a"), col("doc_b"), col("est_sim"))
+    }),
+
+    // SimHash near-dup: 64-bit signature per doc, candidate pairs by
+    // identical 16-bit quarter (LSH on bit-chunks), keep hamming <= 6
+    "q27_dedup_simhash" -> ((s, dir) => {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val sigd = docs(s, dir)
+        .select(col("doc_id"), simhash64(toks).as("sim"))
+        .localCheckpoint(true)
+      val chunked = sigd.select(col("doc_id"), col("sim"),
+        posexplode(transform(sequence(lit(0), lit(3)), q =>
+          call_function("shiftright", col("sim"), q * lit(16)).bitwiseAND(lit(0xFFFFL)))))
+        .withColumnRenamed("pos", "q").withColumnRenamed("col", "chunk")
+      val a = chunked.select(col("q"), col("chunk"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+      val b = chunked.select(col("q"), col("chunk"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+      a.join(b, Seq("q", "chunk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b")).distinct()
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= 6)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_doc_id
+         FROM documents GROUP BY 1""",
+    "q25_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM toks, LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+           WHERE len(ws) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.2"""
+    // q26/q27: xxhash64-based — not reproducible in DuckDB; spec-tested
+    // against the exact-Jaccard oracle instead (DedupSpec).
+  )
+}

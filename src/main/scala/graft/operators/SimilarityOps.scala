@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFns._
+
+/** Similarity search over the `embeddings` table (Array[Float] vectors):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane-LSH bucketed variant as the scale path (candidate
+  * generation by equi-join on signature buckets; recall spec-tested vs
+  * brute force). Dot products are `zip_with`+`aggregate` higher-order
+  * functions — codegen'd, no UDF.
+  */
+object SimilarityOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+
+  val NumQueries = 10
+  val TopK = 5
+
+  /** Random-hyperplane signature: `bits` pseudo-random planes, plane j
+    * component i = centered hash of (j, i) — deterministic, seed-stable,
+    * computed as expressions. Sign pattern -> one long bucket id. */
+  private def hyperplaneSig(v: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    val dims = size(v)
+    val dots = transform(sequence(lit(0), lit(bits - 1)), j =>
+      aggregate(
+        zip_with(
+          v,
+          transform(sequence(lit(0), dims - 1), i =>
+            (pmod(xxhash64(lit("plane"), j, i), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0),
+          (x, p) => x * p),
+        lit(0.0d), (acc, x) => acc + x))
+    aggregate(
+      zip_with(dots, sequence(lit(0), lit(bits - 1)),
+        (d, j) => when(d >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force cosine top-k: broadcast the small query set against
+    // the full corpus, rank per query
+    "q28_knn_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("v"), col("qv")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
+    }),
+
+    // LSH-bucketed ANN: 8-bit hyperplane signature, candidates share the
+    // exact bucket OR any of 4 2-bit-masked sub-buckets (multi-probe via
+    // 4 band projections), rerank candidates by exact cosine.
+    // Hash-dependent -> rows-only driver check; recall vs q28 in spec.
+    "q29_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("sig", hyperplaneSig(col("v"), 8)).localCheckpoint(true)
+      // 4 bands of 2 bits each removed -> join key = sig with band bits masked
+      val banded = e.select(col("vec_id"), col("v"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(3)), bnd =>
+          col("sig").bitwiseAND(bitwise_not(call_function("shiftleft", lit(3L), bnd * lit(2)))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val queries = banded.filter(col("vec_id") < NumQueries)
+        .select(col("band"), col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      banded.join(broadcast(queries), Seq("band", "bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("v"), col("qv"))
+        .distinct()
+        .withColumn("cos", cosine(col("v"), col("qv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
+    }),
+
+    // embedding-cosine near-duplicate pairs above a high threshold
+    "q30_embed_neardup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("label").as("label_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("label").as("label_b"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .filter(col("label_a") === col("label_b")) // same-cluster prefilter (blocking)
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.3)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+    })
+  )
+
+  private val cosSql =
+    """list_sum(list_transform(list_zip(a.v, b.v), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+       (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+  val oracles: Map[String, String] = Map(
+    "q28_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+          SELECT query_id, neighbor_id, rk FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY b.vec_id
+                ORDER BY ($cosSql) DESC, a.vec_id) AS rk
+            FROM e a CROSS JOIN e b
+            WHERE b.vec_id < $NumQueries AND a.vec_id <> b.vec_id)
+          WHERE rk <= $TopK""",
+    "q30_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v, label FROM embeddings)
+          SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ($cosSql) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label)
+          WHERE cos >= 0.3"""
+    // q29: hash-bucketed LSH — not reproducible in DuckDB; recall
+    // asserted vs q28 in SimilaritySpec.
+  )
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc._
+
+/** Golden-state suites for the CDC apply path (SURVEY.md §5): the
+  * distributed apply must equal the independent driver-side oracle fold
+  * row-for-row under duplicates, disorder, deletes and epoch chunking.
+  */
+class CdcApplySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val cfg = GenConfig(numEvents = 20000L, numRepos = 40L, pathsPerRepo = 15L)
+
+  def finalState(epochs: Int, salted: Boolean = false): (DataFrame, String) = {
+    val dir = TestSpark.tmpDir("cdc-apply")
+    Pipeline.runBatchEpochs(spark, cfg, s"$dir/t", epochs, salted = salted)
+    (new LakeTable(s"$dir/t").read(spark), dir)
+  }
+
+  val stateCols = Seq("repo", "path", "lsn", "commit", "lang", "content", "stargazers")
+
+  def assertSameState(got: DataFrame, want: DataFrame): Unit = {
+    val g = got.select(stateCols.map(col): _*)
+    val w = want.select(stateCols.map(col): _*)
+    val extra = g.exceptAll(w).count()
+    val missing = w.exceptAll(g).count()
+    assert(extra == 0 && missing == 0,
+      s"state mismatch: $extra unexpected rows, $missing missing rows")
+  }
+
+  test("generator is deterministic and injects duplicates") {
+    val a = ChangeLogGen.events(spark, cfg)
+    val d1 = Oracle.digest(a.drop("delivery"), Seq("op", "lsn", "repo", "path", "after"))
+    val d2 = Oracle.digest(ChangeLogGen.events(spark, cfg).drop("delivery"),
+      Seq("op", "lsn", "repo", "path", "after"))
+    assert(d1 == d2)
+    val phys = a.count()
+    val logical = a.select("lsn").distinct().count()
+    assert(phys > logical, "duplicate redeliveries must exist")
+  }
+
+  test("generator skews repos (Zipf hot keys)") {
+    val byRepo = ChangeLogGen.events(spark, cfg)
+      .groupBy("repo").count().orderBy(col("count").desc).limit(1).collect()
+    val hot = byRepo(0).getLong(1).toDouble
+    val mean = ChangeLogGen.physicalRows(cfg).toDouble / cfg.numRepos
+    assert(hot > 5 * mean, s"hottest repo $hot should be >> mean $mean")
+  }
+
+  test("single-epoch apply matches oracle fold") {
+    val (got, _) = finalState(epochs = 1)
+    val want = Oracle.fold(spark, ChangeLogGen.events(spark, cfg).drop("delivery"))
+    assertSameState(got, want)
+  }
+
+  test("multi-epoch out-of-order apply matches oracle (late-arrival guard)") {
+    val (got, _) = finalState(epochs = 7)
+    val want = Oracle.fold(spark, ChangeLogGen.events(spark, cfg).drop("delivery"))
+    assertSameState(got, want)
+  }
+
+  test("salted reduce is semantics-preserving") {
+    val (got, _) = finalState(epochs = 3, salted = true)
+    val want = Oracle.fold(spark, ChangeLogGen.events(spark, cfg).drop("delivery"))
+    assertSameState(got, want)
+  }
+
+  test("epoch re-commit is idempotent (exactly-once)") {
+    val dir = TestSpark.tmpDir("cdc-idem")
+    val table = new LakeTable(s"$dir/t")
+    val log = Pipeline.withEpoch(ChangeLogGen.events(spark, cfg), cfg, 3)
+    (0 until 3).foreach { e =>
+      val batch = log.filter(col("epoch") === e.toLong).drop("delivery", "epoch")
+      Apply.applyEpoch(spark, table, batch, e.toLong)
+    }
+    val before = Oracle.digest(table.read(spark), stateCols)
+    // replay epoch 1 (duplicate redelivery of a whole epoch)
+    val replay = log.filter(col("epoch") === 1L).drop("delivery", "epoch")
+    val stats = Apply.applyEpoch(spark, table, replay, 1L)
+    assert(!stats.committed, "replayed epoch must be skipped")
+    assert(Oracle.digest(table.read(spark), stateCols) == before)
+  }
+
+  test("deletes remove keys from final state") {
+    val (got, _) = finalState(epochs = 2)
+    // any key whose max-lsn event is D must be absent
+    val log = ChangeLogGen.events(spark, cfg)
+    val lastOps = log.groupBy("repo", "path").agg(max_by(col("op"), col("lsn")).as("last_op"))
+    val deleted = lastOps.filter(col("last_op") === "D")
+    assert(deleted.count() > 0, "test needs some tombstoned keys")
+    val present = got.join(deleted, Seq("repo", "path"), "left_semi").count()
+    assert(present == 0, s"$present deleted keys still present")
+  }
+
+  test("result is shuffle-partition-count invariant (rank-invariance analogue)") {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    val (got8, _) = finalState(epochs = 3)
+    val d8 = Oracle.digest(got8, stateCols)
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val (got3, _) = finalState(epochs = 3)
+      assert(Oracle.digest(got3, stateCols) == d8)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  test("compaction preserves state and collapses delta groups") {
+    val dir = TestSpark.tmpDir("cdc-compact")
+    Pipeline.runBatchEpochs(spark, cfg, s"$dir/t", epochs = 5)
+    val table = new LakeTable(s"$dir/t")
+    val before = Oracle.digest(table.read(spark), stateCols)
+    assert(table.deltaGroupCount == 5)
+    table.compact(spark)
+    assert(table.deltaGroupCount == 0)
+    assert(Oracle.digest(table.read(spark), stateCols) == before)
+  }
+
+  test("audit lineage rows cover the full LSN range") {
+    val dir = TestSpark.tmpDir("cdc-audit")
+    val audit = new Audit(s"$dir/audit")
+    Pipeline.runBatchEpochs(spark, cfg, s"$dir/t", epochs = 4, audit = Some(audit))
+    val rows = audit.read(spark)
+    assert(rows.select("epoch_id").distinct().count() == 4)
+    val r = rows.agg(min("min_lsn"), max("max_lsn"), sum("rows_applied")).collect()(0)
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) >= cfg.numEvents - 2, s"max lsn ${r.getLong(1)}")
+    assert(rows.filter(col("snapshot_version") < 0).count() == 0)
+  }
+}

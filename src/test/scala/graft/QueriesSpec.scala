@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every SparkEntry query must run at sf0.001 and return sane output;
+  * approximate operators (MinHash-LSH, SimHash, hyperplane ANN) are
+  * judged against their exact counterparts (recall), since they have no
+  * SQL oracle.
+  */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries run and are non-degenerate") {
+    val mayBeEmpty = Set.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows at sf0.001")
+    }
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("minhash-LSH recall vs exact n-gram Jaccard (>= 0.2 true pairs)") {
+    val exact = SparkEntry.queries("q25_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("q26_dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      assert(recall >= 0.8, s"minhash recall $recall over ${exact.size} true pairs")
+    }
+  }
+
+  test("ANN-LSH recall vs brute-force top-k") {
+    val brute = SparkEntry.queries("q28_knn_brute")(spark, sf)
+      .filter(col("rk") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("q29_ann_lsh")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    // LSH with 8-bit signatures and multi-probe over random data: expect
+    // to find a reasonable share of true 1-NNs while scanning far fewer
+    // candidates than brute force
+    assert(recall >= 0.3, s"ANN recall@1 $recall")
+  }
+
+  test("simhash near-dups are plausible (hamming bound respected)") {
+    val rows = SparkEntry.queries("q27_dedup_simhash")(spark, sf).collect()
+    assert(rows.forall(_.getAs[Number]("hamming").longValue <= 6))
+  }
+
+  test("multimodal feature extraction is deterministic") {
+    val a = SparkEntry.queries("q35_multimodal_features")(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    val b = SparkEntry.queries("q35_multimodal_features")(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}

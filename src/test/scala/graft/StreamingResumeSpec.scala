@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc._
+
+/** Kill-and-resume-from-checkpoint golden test: tail the on-disk binlog
+  * segments as a Structured-Streaming file source, crash AFTER the lake
+  * commit of an epoch but BEFORE its streaming checkpoint, restart, and
+  * require (a) the replayed epoch is skipped by the idempotent guard and
+  * (b) the final state matches the oracle fold exactly.
+  */
+class StreamingResumeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val cfg = GenConfig(numEvents = 8000L, numRepos = 25L, pathsPerRepo = 8L)
+  val stateCols = Seq("repo", "path", "lsn", "commit", "lang", "content", "stargazers")
+
+  test("stream apply with injected crash resumes exactly-once") {
+    val dir = TestSpark.tmpDir("cdc-stream")
+    val (logDir, tableDir, ckDir) = (s"$dir/log", s"$dir/table", s"$dir/ck")
+    Pipeline.writeLogSegments(spark, cfg, logDir, segments = 6)
+
+    // first run: crash after epoch 2's lake commit
+    val crashed =
+      try {
+        Pipeline.runStream(spark, logDir, tableDir, ckDir, failAfterEpoch = Some(2L))
+        false
+      } catch { case _: StreamingQueryException => true }
+    assert(crashed, "injected failure must surface")
+    val table = new LakeTable(tableDir)
+    val committedAtCrash = table.latest().get.epochId
+    assert(committedAtCrash == 2L, s"epoch 2 must be committed before the crash, got $committedAtCrash")
+
+    // resume: batch 2 is redelivered (checkpoint never advanced past it)
+    // and must be skipped by the epoch guard; batches 3..5 then apply
+    Pipeline.runStream(spark, logDir, tableDir, ckDir)
+    assert(table.latest().get.epochId == 5L)
+
+    val got = table.read(spark)
+    val want = Oracle.fold(spark, ChangeLogGen.events(spark, cfg).drop("delivery"))
+    assert(got.select(stateCols.map(col): _*).exceptAll(want.select(stateCols.map(col): _*)).count() == 0)
+    assert(want.select(stateCols.map(col): _*).exceptAll(got.select(stateCols.map(col): _*)).count() == 0)
+
+    // no epoch applied twice: snapshot versions strictly increase one per applied epoch
+    // (6 segments - 0 duplicates = 6 snapshots)
+    assert(table.latest().get.version == 6L)
+  }
+
+  test("mid-stream compaction during streaming keeps state correct") {
+    val dir = TestSpark.tmpDir("cdc-stream2")
+    Pipeline.writeLogSegments(spark, cfg, s"$dir/log", segments = 5)
+    Pipeline.runStream(spark, s"$dir/log", s"$dir/table", s"$dir/ck", compactEvery = 2)
+    val table = new LakeTable(s"$dir/table")
+    val got = table.read(spark)
+    val want = Oracle.fold(spark, ChangeLogGen.events(spark, cfg).drop("delivery"))
+    assert(got.select(stateCols.map(col): _*).exceptAll(want.select(stateCols.map(col): _*)).count() == 0)
+    assert(want.select(stateCols.map(col): _*).exceptAll(got.select(stateCols.map(col): _*)).count() == 0)
+  }
+}
