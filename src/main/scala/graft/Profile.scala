@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc._
+
+/** Ad-hoc profiling main (not part of the driver contract). Modes:
+  *   queries <sfDir>  — time sub-stages of the slow dedup queries
+  *   cdc <cores> <events> — time the stages of one CDC epoch
+  */
+object Profile {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("queries")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+
+    mode match {
+      case "queries" =>
+        val dir = args(1)
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val ws = split(trim(lower(col("text"))), "\\s+")
+        val sh = d.select(col("doc_id"),
+          when(size(ws) >= 3,
+            transform(sequence(lit(0), size(ws) - 3), i =>
+              concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+            .otherwise(array()).as("sh"))
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .distinct()
+        time("shingles distinct")(println("shingle rows: " + sh.count()))
+        val shc = sh.localCheckpoint(true)
+        val a = shc.select(col("doc_id").as("doc_a"), col("shingle"))
+        val b = shc.select(col("doc_id").as("doc_b"), col("shingle"))
+        val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+        time("pair join+groupBy")(println("pairs: " + inter.count()))
+        // shingle frequency skew
+        println(shc.groupBy("shingle").count().orderBy(col("count").desc).limit(5).collect().mkString("\n"))
+
+        val mins = (0 until 16).map(k => min(xxhash64(col("shingle"), lit(k))).as(s"m$k"))
+        val sig = shc.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+          .select(col("doc_id"), array((0 until 16).map(k => col(s"m$k")): _*).as("sig"))
+        time("minhash signatures")(noop(sig))
+        time("q25 full")(noop(graft.operators.DedupOps.all("q25_ngram_jaccard")(spark, dir)))
+        time("q26 full")(noop(graft.operators.DedupOps.all("q26_dedup_minhash_lsh")(spark, dir)))
+        time("q27 full")(noop(graft.operators.DedupOps.all("q27_dedup_simhash")(spark, dir)))
+        time("q30 full")(noop(graft.operators.SimilarityOps.all("q30_embed_neardup")(spark, dir)))
+        time("q28 full")(noop(graft.operators.SimilarityOps.all("q28_knn_brute")(spark, dir)))
+
+      case "cdc" =>
+        val events = args(1).toLong
+        val cfg = GenConfig(numEvents = events, numRepos = 5000L, pathsPerRepo = 100L)
+        val dir = java.nio.file.Files.createTempDirectory("prof-cdc").toString
+        val table = new LakeTable(s"$dir/t")
+        val log = Pipeline.withEpoch(ChangeLogGen.events(spark, cfg), cfg, 1)
+          .drop("delivery", "epoch")
+        time("generate only (envelope cols)")(
+          noop(log.select("repo", "path", "lsn", "schemaVersion")))
+        time("generate only (full incl after)")(noop(log))
+        time("lineage scan")(log.groupBy(table.bucketCol)
+          .agg(min("lsn"), max("lsn"), count(lit(1)), max("schemaVersion")).collect())
+        val reduced = Apply.reduce(log.select("repo", "path", "op", "lsn", "ts", "schemaVersion", "after"))
+        time("reduce (no write)")(noop(reduced))
+        val normalized = Apply.normalize(reduced, 4)
+        time("reduce+normalize (no write)")(noop(normalized))
+        time("full applyEpoch incl write")(
+          Apply.applyEpoch(spark, table, log, 0L))
+        time("read back (merge-on-read)")(noop(table.read(spark)))
+    }
+    spark.stop()
+  }
+}

@@ -39,11 +39,15 @@ final case class ApplyStats(
 object Apply {
 
   /** Normalize raw envelope rows (op, lsn, ts, schemaVersion, repo,
-    * path, after) to era-physical payload columns at `version`. */
+    * path, after) to era-physical payload columns at `version`. The
+    * JSON payload is parsed exactly once into a struct column in its
+    * own projection (see SchemaRegistry.parsePayload). */
   def normalize(events: DataFrame, version: Int): DataFrame =
-    events.select(
-      Seq(col("repo"), col("path"), col("op"), col("lsn"), col("ts")) ++
-        SchemaRegistry.normalizedTo(version, col("after")): _*)
+    events
+      .withColumn("_parsed", SchemaRegistry.parsePayload(col("after")))
+      .select(
+        Seq(col("repo"), col("path"), col("op"), col("lsn"), col("ts")) ++
+          SchemaRegistry.normalizedTo(version, col("_parsed")): _*)
 
   /** One row per key: the event with the highest LSN wins; payload and
     * op ride along in the struct. */
@@ -71,7 +75,19 @@ object Apply {
     * epoch id. Late events whose keys were already overwritten by a
     * higher LSN in an earlier epoch are neutralized by the merge-on-read
     * `max_by(lsn)` reconstruction, so no per-key lsn guard join is
-    * needed at write time. */
+    * needed at write time.
+    *
+    * Job structure per epoch (hot path = ONE full pass over the batch):
+    *  1. max-version probe: `agg(max(schemaVersion))` — column-pruned to
+    *     a single cheap envelope column (needed up front to pick the
+    *     era-physical write schema);
+    *  2. reduce -> normalize (JSON parse only on the one-row-per-key
+    *     survivors) -> bucketed delta write, one pipeline with an
+    *     `observe()` side-channel collecting the global source LSN
+    *     range + row count at zero extra passes;
+    *  3. per-bucket lineage: a column-pruned scan of the just-written
+    *     delta files (lsn + bucket partition column only, ~keys rows)
+    *     — records exactly what was applied where. */
   def applyEpoch(
       spark: SparkSession,
       table: LakeTable,
@@ -81,27 +97,33 @@ object Apply {
       salted: Boolean = false): ApplyStats = {
     val t0 = System.nanoTime()
 
-    // Reduce FIRST on the raw envelope (repo, path, op, lsn, ts,
-    // schemaVersion, after) — cheapest columns — then JSON-parse only
-    // the surviving one-row-per-key set.
-    val reduced0 = if (salted) saltedReduce(rawEvents) else reduce(rawEvents)
-    val reduced = reduced0
+    def t() = System.nanoTime()
+    val t1 = t()
+    val batchVersion = rawEvents.agg(coalesce(max(col("schemaVersion")), lit(1))).collect()(0).getInt(0)
+    val tProbe = t()
+
+    val obs = org.apache.spark.sql.Observation(s"graft-epoch-$epochId-${System.nanoTime()}")
+    val envelope = rawEvents
       .select("repo", "path", "op", "lsn", "ts", "schemaVersion", "after")
-      .localCheckpoint(true) // one materialization reused by version-agg + write
-
-    val agg = reduced.agg(
-      coalesce(max(col("schemaVersion")), lit(1)).as("v"),
-      count(lit(1)).as("keys")).collect()(0)
-    val batchVersion = agg.getInt(0)
-    val appliedKeys = agg.getLong(1)
-
+      .observe(obs,
+        min(col("lsn")).as("min_lsn"),
+        max(col("lsn")).as("max_lsn"),
+        count(lit(1)).as("rows_in_batch"))
+    val reduced = if (salted) saltedReduce(envelope) else reduce(envelope)
     val normalized = normalize(reduced, batchVersion)
     val committed = table.upsert(normalized, epochId, batchVersion)
+    val tUpsert = t()
+
+    val inputRows =
+      if (committed) obs.get.get("rows_in_batch").map(_.asInstanceOf[Long]).getOrElse(0L)
+      else 0L
 
     val wallMs = (System.nanoTime() - t0) / 1000000L
-    val stats = ApplyStats(epochId, -1L, appliedKeys, batchVersion, committed, wallMs)
-    audit.foreach(_.record(spark, table, rawEvents, stats))
-    reduced.unpersist()
+    val stats = ApplyStats(epochId, inputRows, -1L, batchVersion, committed, wallMs)
+    if (committed) audit.foreach(_.recordAsync(spark, table, obs.get, stats))
+    if (sys.env.contains("GRAFT_APPLY_TIMING"))
+      System.err.println(f"[apply] epoch=$epochId probe=${(tProbe - t1) / 1e9}%.2fs " +
+        f"upsert=${(tUpsert - tProbe) / 1e9}%.2fs audit=${(t() - tUpsert) / 1e9}%.2fs")
     stats
   }
 }

@@ -9,28 +9,83 @@ import org.apache.spark.sql.functions._
   * distances as it goes (coverage/io/netcdf/DefaultWriter.py:231-233,
   * point/io/netcdf/symphonie/AbstractSYMPHONIEReader.py:67-74) and
   * times stages with a decorator (utils/timing.py:23-30); here those
-  * become queryable rows: one per (epoch, key-bucket) with the source
-  * LSN range it applied, plus the committed snapshot version — enough
-  * to trace any state row back to its log range.
+  * become queryable rows: one per (epoch, key-bucket) with the LSN
+  * range and row count that bucket applied, plus the global source LSN
+  * range of the raw batch (from the apply pass's observe() metrics) and
+  * the committed snapshot version — enough to trace any state row back
+  * to its log range.
+  *
+  * Cost model: the per-bucket breakdown is a column-pruned scan (lsn +
+  * bucket partition column) of the delta files the epoch just wrote —
+  * O(applied keys), NOT a second pass over the raw batch.
   */
 final class Audit(val dir: String) {
-  /** `rawBatch` is the pre-reduction envelope batch — lineage must trace
-    * the SOURCE LSN range each bucket consumed, not the post-LWW
-    * survivors. */
-  def record(spark: SparkSession, table: LakeTable, rawBatch: DataFrame, stats: ApplyStats): Unit = {
-    val snapshotVersion = table.latest().map(_.version).getOrElse(-1L)
-    rawBatch
-      .groupBy(table.bucketCol)
-      .agg(
-        min(col("lsn")).as("min_lsn"),
-        max(col("lsn")).as("max_lsn"),
-        count(lit(1)).as("rows_applied"))
-      .withColumn("epoch_id", lit(stats.epochId))
-      .withColumn("snapshot_version", lit(snapshotVersion))
-      .withColumn("schema_version", lit(stats.batchSchemaVersion))
-      .withColumn("committed", lit(stats.committed))
-      .withColumn("wall_ms", lit(stats.wallMs))
-      .write.mode("append").parquet(dir)
+
+  // Lineage jobs are side-channel writes over already-committed,
+  // immutable delta files — they run on a single background thread so
+  // the apply loop's next epoch overlaps them (Spark schedules
+  // concurrent jobs fine). `flush()` joins before the caller declares
+  // the replay complete.
+  private val worker = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-audit"); t.setDaemon(true); t
+  })
+  private val pending = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+
+  def recordAsync(
+      spark: SparkSession,
+      table: LakeTable,
+      rawStats: Map[String, Any],
+      stats: ApplyStats): Unit = {
+    val snap = table.latest() // resolve the snapshot NOW, not at run time
+    worker.submit(new Runnable {
+      def run(): Unit =
+        try record(spark, table.root, snap, rawStats, stats)
+        catch { case t: Throwable => pending.compareAndSet(null, t) }
+    })
+    ()
+  }
+
+  /** Wait for queued lineage writes; rethrows the first failure. */
+  def flush(): Unit = {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    worker.submit(new Runnable { def run(): Unit = latch.countDown() })
+    latch.await()
+    Option(pending.get()).foreach(t => throw t)
+  }
+
+  def record(
+      spark: SparkSession,
+      table: LakeTable,
+      rawStats: Map[String, Any],
+      stats: ApplyStats): Unit =
+    record(spark, table.root, table.latest(), rawStats, stats)
+
+  private def record(
+      spark: SparkSession,
+      tableRoot: String,
+      snap: Option[Snapshot],
+      rawStats: Map[String, Any],
+      stats: ApplyStats): Unit = {
+    val snapshotVersion = snap.map(_.version).getOrElse(-1L)
+    def stat(k: String): Long =
+      rawStats.get(k).collect { case l: Long => l }.getOrElse(-1L)
+    snap.flatMap(_.groups.lastOption).foreach { g =>
+      spark.read.parquet(s"$tableRoot/${g.dir}")
+        .groupBy(col("bucket"))
+        .agg(
+          min(col("lsn")).as("min_lsn"),
+          max(col("lsn")).as("max_lsn"),
+          count(lit(1)).as("rows_applied"))
+        .withColumn("epoch_id", lit(stats.epochId))
+        .withColumn("source_min_lsn", lit(stat("min_lsn")))
+        .withColumn("source_max_lsn", lit(stat("max_lsn")))
+        .withColumn("source_rows", lit(stat("rows_in_batch")))
+        .withColumn("snapshot_version", lit(snapshotVersion))
+        .withColumn("schema_version", lit(stats.batchSchemaVersion))
+        .withColumn("wall_ms", lit(stats.wallMs))
+        .coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
   }
 
   def read(spark: SparkSession): DataFrame = spark.read.parquet(dir)

@@ -54,11 +54,21 @@ object ChangeLogGen {
 
   /** The delivered change log as a DataFrame of the ChangeEvent envelope
     * plus a `delivery` position column (used to chunk into epochs /
-    * files; drop it before handing to the engine). */
-  def events(spark: SparkSession, cfg: GenConfig): DataFrame = {
+    * files; drop it before handing to the engine).
+    *
+    * `idWindow` restricts generation to a physical-row-id range — the
+    * generator-side analogue of partition pruning: because disorder is
+    * bounded (`delivery = 2*id + jitter`, |jitter| <= disorderWindow), a
+    * delivery-position chunk maps to a bounded id window, so an epoch's
+    * batch can be produced at O(chunk) instead of O(total log). */
+  def events(spark: SparkSession, cfg: GenConfig,
+      idWindow: Option[(Long, Long)] = None): DataFrame = {
     val k = math.max(cfg.dupEvery, 2L)
     val n = physicalRows(cfg)
-    val df = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+    val (lo, hi) = idWindow.map { case (a, b) =>
+      (math.max(0L, a), math.min(n, b))
+    }.getOrElse((0L, n))
+    val df = spark.range(lo, hi, 1, spark.sparkContext.defaultParallelism)
 
     def h(salt: Long) = xxhash64(lit(cfg.seed), lit(salt), col("lsn"))
     // uniform in [0,1) from a hash
@@ -124,8 +134,8 @@ object ChangeLogGen {
           .when(col("schemaVersion") === 2, afterV2)
           .otherwise(afterV34))
       .withColumn(
-        "delivery",
-        if (cfg.disorderWindow <= 0) col("id")
+        "delivery", // always on the 2*id scale so epoch-window math is uniform
+        if (cfg.disorderWindow <= 0) col("id") * lit(2L)
         else col("id") * lit(2L) + pmod(h(6), lit(2L * cfg.disorderWindow + 1L)) - lit(cfg.disorderWindow))
       .select("op", "lsn", "ts", "schemaVersion", "repo", "path", "after", "delivery")
   }

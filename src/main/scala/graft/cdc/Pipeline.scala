@@ -33,7 +33,11 @@ object Pipeline {
   }
 
   /** Replay the synthetic log in `epochs` micro-batches (batch mode —
-    * the bench hot loop). Returns per-epoch stats. */
+    * the bench hot loop). Returns per-epoch stats.
+    *
+    * Each epoch's batch is generated over the bounded id window its
+    * delivery-chunk can reach (generator-side partition pruning) —
+    * total generation work is O(log size), not O(epochs x log size). */
   def runBatchEpochs(
       spark: SparkSession,
       cfg: GenConfig,
@@ -43,25 +47,65 @@ object Pipeline {
       compactEvery: Int = 0,
       salted: Boolean = false): Seq[ApplyStats] = {
     val table = new LakeTable(tableDir)
-    val log = withEpoch(ChangeLogGen.events(spark, cfg), cfg, epochs)
-    (0 until epochs).map { e =>
-      val batch = log.filter(col("epoch") === e.toLong).drop("delivery", "epoch")
+    val span = 2L * ChangeLogGen.physicalRows(cfg) + 2L * cfg.disorderWindow + 2L
+    val chunk = math.max(span / epochs, 1L)
+    val out = (0 until epochs).map { e =>
+      // delivery chunk [e*chunk, (e+1)*chunk) - disorderWindow offset
+      // maps to physical ids in [(lo - W)/2, (hi + W)/2]
+      val dLo = e.toLong * chunk - cfg.disorderWindow
+      val dHi = (e + 1).toLong * chunk - cfg.disorderWindow
+      val idLo = (dLo - cfg.disorderWindow) / 2 - 1
+      val idHi = (dHi + cfg.disorderWindow) / 2 + 2
+      val window = withEpoch(
+        ChangeLogGen.events(spark, cfg, Some((idLo, idHi))), cfg, epochs)
+      val batch = window.filter(col("epoch") === e.toLong).drop("delivery", "epoch")
       val stats = Apply.applyEpoch(spark, table, batch, e.toLong, audit, salted)
       if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) table.compact(spark)
       stats
     }
+    audit.foreach(_.flush())
+    out
   }
 
-  /** Materialize the synthetic log as `segments` parquet files in
-    * delivery order — the on-disk binlog the streaming source tails. */
-  def writeLogSegments(spark: SparkSession, cfg: GenConfig, logDir: String, segments: Int): Unit = {
-    val log = withEpoch(ChangeLogGen.events(spark, cfg), cfg, segments)
+  /** Materialize the synthetic log as `segments` parquet directories in
+    * delivery order — the on-disk binlog the streaming source tails.
+    * `filesPerSegment` = 1 gives the one-file-per-micro-batch layout the
+    * streaming tests pair with maxFilesPerTrigger=1; 0 keeps the
+    * generator's natural write parallelism (bench replay layout). */
+  def writeLogSegments(spark: SparkSession, cfg: GenConfig, logDir: String,
+      segments: Int, filesPerSegment: Int = 1): Unit = {
+    val span = 2L * ChangeLogGen.physicalRows(cfg) + 2L * cfg.disorderWindow + 2L
+    val chunk = math.max(span / segments, 1L)
     (0 until segments).foreach { s =>
-      log.filter(col("epoch") === s.toLong)
+      val dLo = s.toLong * chunk - cfg.disorderWindow
+      val dHi = (s + 1).toLong * chunk - cfg.disorderWindow
+      val window = withEpoch(ChangeLogGen.events(spark, cfg,
+        Some(((dLo - cfg.disorderWindow) / 2 - 1, (dHi + cfg.disorderWindow) / 2 + 2))), cfg, segments)
+      val seg = window.filter(col("epoch") === s.toLong)
         .select(envelopeSchema.fieldNames.map(col).toSeq: _*)
-        .coalesce(1)
+      (if (filesPerSegment > 0) seg.coalesce(filesPerSegment) else seg)
         .write.mode("overwrite").parquet(f"$logDir/seg-$s%05d")
     }
+  }
+
+  /** Replay pre-materialized log segments in batch mode — the bench hot
+    * loop: a real binlog arrives as stored bytes, so the measured path
+    * is scan -> dedup/LWW reduce -> normalize -> lake upsert (+ audit),
+    * with small per-epoch plans (no giant generator trees to re-plan
+    * per job). */
+  def replaySegments(
+      spark: SparkSession,
+      logDir: String,
+      tableDir: String,
+      segments: Int,
+      audit: Option[Audit] = None): Seq[ApplyStats] = {
+    val table = new LakeTable(tableDir)
+    val stats = (0 until segments).map { s =>
+      val batch = spark.read.schema(envelopeSchema).parquet(f"$logDir/seg-$s%05d")
+      Apply.applyEpoch(spark, table, batch, s.toLong, audit)
+    }
+    audit.foreach(_.flush())
+    stats
   }
 
   /** Tail `logDir` as a Structured-Streaming file source and apply each
@@ -99,6 +143,9 @@ object Pipeline {
       }
       .start()
     try query.awaitTermination()
-    finally if (query.isActive) query.stop()
+    finally {
+      if (query.isActive) query.stop()
+      audit.foreach(_.flush())
+    }
   }
 }

