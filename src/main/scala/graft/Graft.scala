@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.cdc.{Apply, ApplyStats, Audit, LakeTable, Pipeline}
+
+/** Public API of the engine — the operators a user of the reference
+  * library would reach for, re-expressed Spark-first, plus the CDC
+  * ingest entry points. Everything is Column algebra / single-shuffle
+  * DataFrame plans; nothing collects to the driver.
+  *
+  * {{{
+  * import graft.Graft._
+  * events.lastWriterWins(Seq("repo", "path"), col("lsn"))
+  * orders.asofJoinLatest(quotes, "sym", "t", "px")
+  * docs.minhashCandidatePairs("text", k = 16, bands = 4)
+  * }}}
+  */
+object Graft {
+
+  // ---- CDC engine entry points -------------------------------------
+
+  /** Apply one exactly-once epoch of change events (envelope columns
+    * op/lsn/ts/schemaVersion/repo/path/after) to the lake table at
+    * `tableDir`. See graft.cdc.Apply for the job structure. */
+  def applyChangeLog(spark: SparkSession, events: DataFrame, tableDir: String,
+      epochId: Long, auditDir: Option[String] = None, salted: Boolean = false): ApplyStats =
+    Apply.applyEpoch(spark, new LakeTable(tableDir), events, epochId,
+      auditDir.map(new Audit(_)), salted)
+
+  /** Current state of a lake table (merge-on-read reconstruction). */
+  def readTable(spark: SparkSession, tableDir: String): DataFrame =
+    new LakeTable(tableDir).read(spark)
+
+  /** Tail a directory of binlog segments as a Structured Stream into
+    * the lake table, checkpointed and exactly-once; resumes from
+    * `checkpointDir` after a crash. */
+  def streamChangeLog(spark: SparkSession, logDir: String, tableDir: String,
+      checkpointDir: String, auditDir: Option[String] = None): Unit =
+    Pipeline.runStream(spark, logDir, tableDir, checkpointDir, auditDir.map(new Audit(_)))
+
+  // ---- DataFrame operators ------------------------------------------
+
+  implicit class GraftOps(private val df: DataFrame) {
+
+    /** One row per key: the row with the greatest `orderCol` wins —
+      * the CDC reduction (map-side partial agg collapses hot keys
+      * before the shuffle). */
+    def lastWriterWins(keyCols: Seq[String], orderCol: Column): DataFrame = {
+      val valueCols = df.columns.filterNot(keyCols.contains).toSeq
+      df.groupBy(keyCols.map(col): _*)
+        .agg(max_by(struct(valueCols.map(col): _*), orderCol).as("_s"))
+        .select(keyCols.map(col) ++ valueCols.map(c => col(s"_s.$c").as(c)): _*)
+    }
+
+    /** Keep-first dedup per key in `orderCols` order
+      * (TimeMultiPoint.py:309-318 semantics). */
+    def dedupKeepFirst(keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }
+
+    /** Per-group top-k by `orderCols`. */
+    def topKPerGroup(keyCols: Seq[String], orderCols: Seq[Column], k: Int): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+      df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k).drop("_rk")
+    }
+
+    /** As-of join: for each left row, the latest `right` row with the
+      * same key and rightTs <= leftTs. Single shuffle (union + ordered
+      * window), NO range product — the scale path for as-of joins.
+      * Output: left columns + `asofValueCol` (null when no match;
+      * ties on rightTs break by `rightTie` descending). */
+    def asofJoinLatest(right: DataFrame, keyCol: String, leftTs: String,
+        rightTs: String, rightValue: String,
+        rightTie: Option[String] = None): DataFrame = {
+      val leftCols = df.columns.toSeq
+      val l = df.withColumn("_k", col(keyCol)).withColumn("_t", col(leftTs))
+        .withColumn("_v", lit(null).cast(right.schema(rightValue).dataType))
+        .withColumn("_tie", lit(Long.MaxValue))
+        .withColumn("_side", lit(1))
+      val r = right.select(
+        col(keyCol).as("_k"), col(rightTs).as("_t"),
+        col(rightValue).as("_v"),
+        rightTie.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("_tie"),
+        lit(0).as("_side"))
+      val rPadded = leftCols.foldLeft(r)((acc, c) =>
+        if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null).cast(df.schema(c).dataType)))
+      val w = Window.partitionBy(col("_k"))
+        .orderBy(col("_t"), col("_side"), col("_tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      l.unionByName(rPadded, allowMissingColumns = true)
+        .withColumn("_asof", last(col("_v"), ignoreNulls = true).over(w))
+        .filter(col("_side") === 1)
+        .select(leftCols.map(col) :+ col("_asof").as(s"asof_$rightValue"): _*)
+    }
+
+    /** Sessionize: a gap longer than `gap` starts a new session;
+      * returns the input plus a per-key `session_id`. */
+    def sessionize(keyCol: String, tsCol: String, gap: String): DataFrame = {
+      val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("_prev", lag(col(tsCol), 1).over(byKey))
+        .withColumn("_new",
+          when(col("_prev").isNull || col(tsCol) > col("_prev") + expr(s"INTERVAL $gap"), 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("_new")).over(cum))
+        .drop("_prev", "_new")
+    }
+
+    /** Per-key linear interpolation of `valueCol` at each row's time
+      * from its ordered neighbors (InterpolatorCore.py:87-130 as
+      * lag/lead Column arithmetic). Adds `interp_<valueCol>`. */
+    def interpolateLinear(keyCol: String, tsCol: String, valueCol: String): DataFrame = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      def us(c: Column) = unix_micros(c.cast("timestamp")).cast("double")
+      df.withColumn("_pv", lag(col(valueCol), 1).over(w))
+        .withColumn("_nv", lead(col(valueCol), 1).over(w))
+        .withColumn("_pt", lag(col(tsCol), 1).over(w))
+        .withColumn("_nt", lead(col(tsCol), 1).over(w))
+        .withColumn(s"interp_$valueCol",
+          col("_pv") + (col("_nv") - col("_pv")) *
+            (us(col(tsCol)) - us(col("_pt"))) / (us(col("_nt")) - us(col("_pt"))))
+        .drop("_pv", "_nv", "_pt", "_nt")
+    }
+
+    /** Distinct word-level n-gram shingles: (passthrough keyCol,
+      * shingle). Codegen path: posexplode + window lead. */
+    def ngramShingles(keyCol: String, textCol: String, n: Int = 3): DataFrame = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col("_p"))
+      val leads = (1 until n).map(i => lead(col("_w0"), i).over(w).as(s"_w$i"))
+      val words = (0 until n).map(i => col(s"_w$i"))
+      df.select(col(keyCol), posexplode(split(trim(lower(col(textCol))), "\\s+")))
+        .withColumnRenamed("pos", "_p").withColumnRenamed("col", "_w0")
+        .select(col(keyCol) +: col("_w0") +: leads: _*)
+        .filter(words.last.isNotNull)
+        .select(col(keyCol), concat_ws(" ", words: _*).as("shingle"))
+        .distinct()
+    }
+
+    /** MinHash signatures over n-gram shingles: (keyCol, sig:array<long>).
+      * Explode + k codegen'd `min` aggregates. */
+    def minhashSignatures(keyCol: String, textCol: String, k: Int = 16, n: Int = 3): DataFrame = {
+      val sh = ngramShingles(keyCol, textCol, n)
+      val mins = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"_m$i"))
+      sh.groupBy(col(keyCol)).agg(mins.head, mins.tail: _*)
+        .select(col(keyCol), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+    }
+
+    /** MinHash + LSH banding near-duplicate candidate pairs with
+      * estimated similarity — candidate generation is an equi-join on
+      * (band, bucket-hash), NEVER an all-pairs product. Output:
+      * (<key>_a, <key>_b, est_sim). */
+    def minhashCandidatePairs(keyCol: String, textCol: String, k: Int = 16,
+        bands: Int = 4, minSim: Double = 0.25): DataFrame = {
+      val rowsPerBand = k / bands
+      val sig = minhashSignatures(keyCol, textCol, k).localCheckpoint(true)
+      val banded = sig.select(col(keyCol), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+        .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bucket")
+      val a = banded.select(col("_band"), col("_bucket"), col(keyCol).as(s"${keyCol}_a"))
+      val b = banded.select(col("_band"), col("_bucket"), col(keyCol).as(s"${keyCol}_b"))
+      val candidates = a.join(b, Seq("_band", "_bucket"))
+        .filter(col(s"${keyCol}_a") < col(s"${keyCol}_b"))
+        .select(col(s"${keyCol}_a"), col(s"${keyCol}_b")).distinct()
+      candidates
+        .join(sig.select(col(keyCol).as(s"${keyCol}_a"), col("sig").as("_sa")), s"${keyCol}_a")
+        .join(sig.select(col(keyCol).as(s"${keyCol}_b"), col("sig").as("_sb")), s"${keyCol}_b")
+        .withColumn("est_sim",
+          aggregate(zip_with(col("_sa"), col("_sb"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / k.toDouble)
+        .filter(col("est_sim") >= minSim)
+        .select(col(s"${keyCol}_a"), col(s"${keyCol}_b"), col("est_sim"))
+    }
+
+    /** 64-bit SimHash signatures: (keyCol, sim:long). Explode + 64
+      * codegen'd sum aggregates. */
+    def simhashSignatures(keyCol: String, textCol: String): DataFrame = {
+      val votes = (0 until 64).map(b => sum(
+        when(call_function("shiftright", col("_h"), lit(b)).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"_v$b"))
+      val assembled = (0 until 64).map(b =>
+        when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+      df.select(col(keyCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("_tok"))
+        .select(col(keyCol), xxhash64(col("_tok")).as("_h"))
+        .groupBy(col(keyCol))
+        .agg(votes.head, votes.tail: _*)
+        .select(col(keyCol), assembled.as("sim"))
+    }
+
+    /** Brute-force cosine top-k neighbors of each row in `queries`
+      * (broadcast) — native codegen CosineSimilarity kernel. Inputs
+      * need (idCol, vecCol) on both sides. */
+    def knnCosine(queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      df.crossJoin(broadcast(q))
+        .filter(col(idCol) =!= col("query_id"))
+        .select(col("query_id"), col(idCol).as("neighbor_id"),
+          graft.functions.CosineSimilarity(col(vecCol), col("_qv")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+    }
+  }
+}

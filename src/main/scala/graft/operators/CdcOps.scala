@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Graft._
 
 /** CDC-shaped operators over the `events` stream table: sessionization,
   * per-epoch lineage ranges (the audit-table shape), and ordered linear
@@ -18,15 +19,9 @@ object CdcOps {
     // sessionization: gap > 30 min starts a new session (lag + cumulative
     // sum over an ordered per-key window — single shuffle on user_id)
     "q31_sessionize" -> ((s, dir) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_sess",
-          when(col("prev_ts").isNull ||
-            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
-        .withColumn("sess_id", sum(col("new_sess")).over(cum))
-        .groupBy(col("user_id"), col("sess_id"))
+        .sessionize("user_id", "ts", "30 MINUTES")
+        .groupBy(col("user_id"), col("session_id").as("sess_id"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sess_value"))
     }),
 
@@ -45,20 +40,10 @@ object CdcOps {
     // from its per-key neighbors (lag/lead arithmetic — the
     // time_1d_interpolation analogue, InterpolatorCore.py:87-130)
     "q33_interp_linear" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       ev(s, dir)
-        .withColumn("pv", lag(col("value"), 1).over(w))
-        .withColumn("nv", lead(col("value"), 1).over(w))
-        .withColumn("pt", lag(col("ts"), 1).over(w))
-        .withColumn("nt", lead(col("ts"), 1).over(w))
-        .filter(col("pv").isNotNull && col("nv").isNotNull && col("nt") > col("pt"))
-        .select(
-          col("event_id"),
-          round(
-            col("pv") + (col("nv") - col("pv")) *
-              (unix_micros(col("ts").cast("timestamp")) - unix_micros(col("pt").cast("timestamp"))).cast("double") /
-              (unix_micros(col("nt").cast("timestamp")) - unix_micros(col("pt").cast("timestamp"))).cast("double"),
-            6).as("interp_value"))
+        .interpolateLinear("user_id", "ts", "value")
+        .filter(col("interp_value").isNotNull)
+        .select(col("event_id"), round(col("interp_value"), 6).as("interp_value"))
     })
   )
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.ColumnFns._
+import graft.Graft._
 
 /** Deduplication family over `documents`: exact, n-gram Jaccard,
   * MinHash+LSH, SimHash. The scale path is always
@@ -16,22 +16,10 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** Distinct word-level 3-gram shingles per doc (doc_id, shingle).
-    * posexplode + window-lead instead of a transform() lambda: the
-    * higher-order-function path is interpreted and re-evaluates the
-    * split per element (~40x slower measured); this formulation stays
-    * on codegen'd explode + one per-doc window. */
-  private def shingles(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    d.select(col("doc_id"), posexplode(split(trim(lower(col("text"))), "\\s+")))
-      .withColumnRenamed("pos", "p").withColumnRenamed("col", "w0")
-      .withColumn("w1", lead(col("w0"), 1).over(w))
-      .withColumn("w2", lead(col("w0"), 2).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("shingle"))
-      .distinct()
-  }
+  /** Distinct word-level 3-gram shingles per doc (doc_id, shingle) —
+    * delegates to the public Graft.ngramShingles operator. */
+  private def shingles(d: DataFrame): DataFrame =
+    d.ngramShingles("doc_id", "text", 3)
 
   val MinhashK = 16
   val Bands = 4 // 4 rows per band

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Graft._
 import graft.functions.ColumnFns._
 
 /** Relational operator coverage (SURVEY.md §2.3-§2.9) over the driver's
@@ -204,21 +205,11 @@ object Relational {
     // shuffle-once via union + ordered window — no range product, the
     // scale path for as-of joins.
     "q17_asof_join" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(
-        col("user_id"), col("ts").as("t"),
-        col("value").as("v"), col("event_id").as("tie"), lit(0).as("side"))
-      val p = probeGrid(s, dir).select(
-        col("user_id"), col("probe_ts").as("t"),
-        lit(null).cast("double").as("v"), lit(0L).as("tie"), lit(1).as("side"))
-      // event rows sort before probe rows at equal t (inclusive as-of);
-      // among event-time ties the max event_id wins (deterministic)
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("t"), col("side"), col("tie"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      e.unionByName(p)
-        .withColumn("asof_value", last(col("v"), ignoreNulls = true).over(w))
-        .filter(col("side") === 1 && col("asof_value").isNotNull)
-        .select(col("user_id"), col("t").as("probe_ts"), round(col("asof_value"), 6).as("asof_value"))
+      val e = t(s, dir, "events").select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      probeGrid(s, dir)
+        .asofJoinLatest(e, "user_id", "probe_ts", "ts", "value", rightTie = Some("event_id"))
+        .filter(col("asof_value").isNotNull)
+        .select(col("user_id"), col("probe_ts"), round(col("asof_value"), 6).as("asof_value"))
     }),
 
     // §2.4 interval/range join with tolerance + aggregate over matched

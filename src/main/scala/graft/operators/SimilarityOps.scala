@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.CosineSimilarity
+import graft.Graft._
 
 /** Similarity search over the `embeddings` table (Array[Float] vectors):
   * brute-force cosine top-k as the correctness baseline, and a
@@ -45,16 +46,7 @@ object SimilarityOps {
     // the full corpus, rank per query
     "q28_knn_brute" -> ((s, dir) => {
       val e = emb(s, dir)
-      val queries = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-      e.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          CosineSimilarity(col("v"), col("qv")).as("cos"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= TopK)
+      e.knnCosine(e.filter(col("vec_id") < NumQueries), "vec_id", "v", TopK)
         .select(col("query_id"), col("neighbor_id"), col("rk"))
     }),
 
