@@ -60,6 +60,33 @@ object Profile {
         time("q30 full")(noop(graft.operators.SimilarityOps.all("q30_embed_neardup")(spark, dir)))
         time("q28 full")(noop(graft.operators.SimilarityOps.all("q28_knn_brute")(spark, dir)))
 
+      case "reduce" =>
+        val events = args(1).toLong
+        val cfg = GenConfig(numEvents = events, numRepos = 5000L, pathsPerRepo = 100L)
+        val dir = java.nio.file.Files.createTempDirectory("prof-red").toString
+        Pipeline.writeLogSegments(spark, cfg, s"$dir/log", 1, filesPerSegment = 0)
+        val log = spark.read.schema(Pipeline.envelopeSchema).parquet(s"$dir/log/seg-00000")
+        val valueCols = Seq("op", "lsn", "ts", "schemaVersion", "after")
+        (1 to 2).foreach { round =>
+          time(s"max_by(struct) [$round]")(noop(Apply.reduce(log)))
+          val viaMaxStruct = log
+            .groupBy(col("repo"), col("path"))
+            .agg(max(struct((col("lsn") +: valueCols.filterNot(_ == "lsn").map(col)): _*)).as("s"))
+            .select(col("repo"), col("path"), col("s.lsn").as("lsn"), col("s.op").as("op"),
+              col("s.ts").as("ts"), col("s.schemaVersion").as("schemaVersion"), col("s.after").as("after"))
+          time(s"max(struct(lsn,...)) [$round]")(noop(viaMaxStruct))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("repo"), col("path")).orderBy(col("lsn").desc)
+          time(s"window row_number [$round]")(
+            noop(log.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")))
+          val maxLsn = log.groupBy(col("repo"), col("path")).agg(max(col("lsn")).as("lsn"))
+          time(s"maxlsn+selfjoin [$round]")(noop(log.join(maxLsn, Seq("repo", "path", "lsn"))))
+        }
+        println("plan max(struct): " + spark.range(0).sparkSession.sessionState.executePlan(
+          log.groupBy(col("repo"), col("path")).agg(max(struct(col("lsn"), col("after"))).as("s"))
+            .queryExecution.logical).executedPlan.toString.linesIterator.filter(l =>
+              l.contains("Aggregate")).mkString(" | "))
+
       case "cdc" =>
         val events = args(1).toLong
         val cfg = GenConfig(numEvents = events, numRepos = 5000L, pathsPerRepo = 100L)
@@ -83,3 +110,4 @@ object Profile {
     spark.stop()
   }
 }
+// appended: reduce-formulation shootout (see `case "reduce"` dispatch added below)

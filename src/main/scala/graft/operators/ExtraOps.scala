@@ -42,6 +42,45 @@ object ExtraOps {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
     }),
 
+    // flood-class polygons analogue (FloodingPolygonWriter.py:76-112):
+    // threshold/bucketize -> per-class two-phase geometry union, here a
+    // custom typed Aggregator over synthesized point coordinates; the
+    // envelope coords are also SQL-expressible so the oracle checks the
+    // partial+final union algebra exactly
+    "q41_flood_union" -> ((s, dir) => {
+      import s.implicits._
+      val bboxUnion = udaf(new graft.functions.BBoxUnionAggregator())
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("klass",
+          when(col("value") < 2.0, "dry").when(col("value") < 6.0, "damp").otherwise("flooded"))
+        .withColumn("x", pmod(col("event_id").cast("double") * 3.7, lit(360.0)) - 180.0)
+        .withColumn("y", pmod(col("event_id").cast("double") * 1.3, lit(180.0)) - 90.0)
+        .groupBy(col("klass"))
+        .agg(bboxUnion(col("x"), col("y")).as("bbox"), count(lit(1)).as("cnt"))
+        .select(col("klass"),
+          round(col("bbox.minX"), 6).as("min_x"), round(col("bbox.minY"), 6).as("min_y"),
+          round(col("bbox.maxX"), 6).as("max_x"), round(col("bbox.maxY"), 6).as("max_y"),
+          col("cnt"))
+    }),
+
+    // per-key recursive IIR low-pass (Butterworth analogue,
+    // point/utils/filters.py:18-27) — ordered stateful fold per key via
+    // flatMapGroups; inherently sequential per key, so no SQL oracle
+    // (rows-only driver check + golden values in spec)
+    "q42_lowpass" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+        .as[(Long, Long, java.sql.Timestamp, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (user, it) =>
+          val rows = it.toSeq.sortBy(r => (r._3.getTime, r._2))
+          val smoothed = graft.functions.RecursiveFilter.lowpass(rows.map(_._4), alpha = 0.3)
+          rows.zip(smoothed).map { case ((u, e, _, _), y) => (u, e, math.round(y * 1e6) / 1e6) }
+        }
+        .toDF("user_id", "event_id", "smoothed")
+    }),
+
     // Structured Streaming: tumbling event-time window aggregation over
     // the events table driven as a bounded stream (memory sink,
     // AvailableNow) — must equal the batch SQL oracle exactly
@@ -69,6 +108,18 @@ object ExtraOps {
     "q40_stream_window" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
          count(*) AS cnt, round(sum(value), 4) AS sum_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q41_flood_union" ->
+      """SELECT CASE WHEN value < 2.0 THEN 'dry'
+                     WHEN value < 6.0 THEN 'damp'
+                     ELSE 'flooded' END AS klass,
+           round(min(x), 6) AS min_x, round(min(y), 6) AS min_y,
+           round(max(x), 6) AS max_x, round(max(y), 6) AS max_y,
+           count(*) AS cnt
+         FROM (SELECT value,
+                 fmod(CAST(event_id AS DOUBLE) * 3.7, 360.0) - 180.0 AS x,
+                 fmod(CAST(event_id AS DOUBLE) * 1.3, 180.0) - 90.0 AS y
+               FROM events)
+         GROUP BY 1"""
   )
 }

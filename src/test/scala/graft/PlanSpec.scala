@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc._
+
+/** Physical-plan shape assertions — the scale properties the queries
+  * rely on must be visible in the executed plan, not assumed:
+  * predicate pushdown reaches the parquet scan, column pruning shrinks
+  * ReadSchema, small dimensions broadcast, the CDC reduce does map-side
+  * partial aggregation, and the hot path stays inside whole-stage
+  * codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2 filter pushdown + column pruning reach the parquet scan") {
+    val plan = planOf(SparkEntry.queries("q2_filter_proj")(spark, sf))
+    assert(plan.contains("PushedFilters:"), "no pushed filters in scan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") || plan.contains("IsNotNull(l_discount"),
+      s"range predicates not pushed:\n$plan")
+    // pruned read schema: the 11-column table must NOT be fully read
+    assert(!plan.contains("l_returnflag"), "column pruning failed — unused column in scan")
+  }
+
+  test("q3 multi-way dim join uses broadcast hash joins") {
+    val plan = planOf(SparkEntry.queries("q3_join_broadcast")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected 3 broadcast joins:\n${plan.take(2000)}")
+  }
+
+  test("q4/q5 semi and anti joins plan as broadcast/hash semi-anti") {
+    assert(planOf(SparkEntry.queries("q4_semi_join")(spark, sf)).contains("LeftSemi"))
+    assert(planOf(SparkEntry.queries("q5_anti_join")(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("CDC reduce does map-side partial aggregation before one shuffle") {
+    val events = ChangeLogGen.events(spark, GenConfig(numEvents = 1000L)).drop("delivery")
+    val plan = planOf(Apply.reduce(
+      events.select("repo", "path", "op", "lsn", "ts", "schemaVersion", "after")))
+    assert("partial_max_by|partial\\(max_by".r.findFirstIn(plan).isDefined ||
+      plan.contains("isDistinct=false, filter=None) AS"), // fallback textual form
+      s"no partial aggregation visible:\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning\\(repo".r.findFirstIn(plan).isDefined,
+      "reduce must shuffle exactly on the key")
+    // exactly ONE exchange in the reduce
+    assert("Exchange".r.findAllIn(plan).size == 1, "reduce must be single-shuffle")
+  }
+
+  test("the apply hot path stays in whole-stage codegen") {
+    // AQE prints an unexecuted AdaptiveSparkPlan without codegen spans;
+    // disable it for the shape assertion only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val events = ChangeLogGen.events(spark, GenConfig(numEvents = 1000L)).drop("delivery")
+      val reduced = Apply.reduce(events.select("repo", "path", "op", "lsn", "ts", "schemaVersion", "after"))
+      val plan = planOf(Apply.normalize(reduced, 4))
+      // codegen stages render as "*(n) Operator" in plan text
+      assert(plan.contains("*("), s"no codegen spans in apply path:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("native CosineSimilarity participates in codegen (q28 plan)") {
+    val plan = planOf(SparkEntry.queries("q28_knn_brute")(spark, sf))
+    assert(plan.contains("cosinesimilarity") || plan.contains("CosineSimilarity"),
+      s"native expression missing:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "query set must broadcast")
+  }
+
+  test("q39 approx distinct within 5% of exact") {
+    val approx = SparkEntry.queries("q39_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q38_distinct_agg")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k).toDouble
+      assert(math.abs(a - n) / n <= 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
+}

@@ -62,6 +62,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Number]("hamming").longValue <= 6))
   }
 
+  test("recursive low-pass filter matches hand-computed golden values") {
+    import graft.functions.RecursiveFilter
+    val got = RecursiveFilter.lowpass(Seq(1.0, 2.0, 3.0), alpha = 0.3)
+    assert(got.map(v => math.round(v * 100) / 100.0) == Seq(1.0, 1.3, 1.81))
+    assert(RecursiveFilter.lowpass(Nil, 0.3).isEmpty)
+    // smoothing bounds: output stays within the input envelope
+    val xs = Seq(5.0, -2.0, 7.5, 0.0, 3.3)
+    val ys = RecursiveFilter.lowpass(xs, 0.4)
+    assert(ys.forall(y => y >= xs.min && y <= xs.max))
+  }
+
+  test("bbox union aggregator is associative/commutative (two-phase safe)") {
+    import graft.functions.{BBox, BBoxUnionAggregator}
+    val agg = new BBoxUnionAggregator()
+    val pts = Seq((1.0, 2.0), (-3.0, 7.0), (4.0, -1.0))
+    val whole = pts.foldLeft(agg.zero)(agg.reduce)
+    val split = agg.merge(
+      pts.take(1).foldLeft(agg.zero)(agg.reduce),
+      pts.drop(1).foldLeft(agg.zero)(agg.reduce))
+    assert(whole == split && whole == BBox(-3.0, -1.0, 4.0, 7.0))
+    assert(agg.merge(agg.zero, whole) == whole)
+  }
+
   test("multimodal feature extraction is deterministic") {
     val a = SparkEntry.queries("q35_multimodal_features")(spark, sf)
       .orderBy("doc_id").collect().toSeq
