@@ -50,27 +50,29 @@ object Bench {
     s
   }
 
-  /** One full CDC replay at a given parallelism; returns events/sec.
+  /** The bench change-log shape: keyspace sized for ~12 events/key —
+    * the steady-state CDC regime (repeated updates per key), matching
+    * the 10^10-events-over-10^8-keys design point's update ratio. */
+  private def benchCfg(numEvents: Long): GenConfig =
+    GenConfig(numEvents = numEvents, numRepos = 5000L, pathsPerRepo = 100L)
+
+  /** One full CDC replay at a given parallelism over pre-materialized
+    * binlog segments at `logDir` (a real binlog arrives as stored
+    * bytes, so the timed path starts at scan); returns events/sec.
     * The replay runs TWICE (fresh table each time, same warm JVM) and
     * the best run wins — the sandbox VM takes multi-second hypervisor
     * steal bursts that would otherwise dominate a single measurement. */
-  private def cdcRun(cores: Int, numEvents: Long, epochs: Int): Double = {
+  private def cdcRun(cores: Int, numEvents: Long, epochs: Int, logDir: String): Double = {
     val spark = session(cores, math.max(cores, 32))
     val dir = s"$scratchRoot/c$cores"
     try {
-      // keyspace sized for ~12 events/key — the steady-state CDC regime
-      // (repeated updates per key), matching the 10^10-events-over-10^8-keys
-      // design point's update ratio
-      val cfg = GenConfig(numEvents = numEvents, numRepos = 5000L, pathsPerRepo = 100L)
-      // materialize the binlog segments (untimed test fixture — a real
-      // binlog arrives as stored bytes, so the timed path starts at scan)
-      Pipeline.writeLogSegments(spark, cfg, s"$dir/log", epochs, filesPerSegment = 0)
+      val cfg = benchCfg(numEvents)
       // warm-up: JIT/codegen caches on a tiny slice (not timed)
       Pipeline.runBatchEpochs(spark, cfg.copy(numEvents = 50000L), s"$dir/warm", 1)
       val thr = (1 to 2).map { run =>
         val audit = new Audit(s"$dir/audit$run")
         val t0 = System.nanoTime()
-        val stats = Pipeline.replaySegments(spark, s"$dir/log", s"$dir/t$run", epochs, Some(audit))
+        val stats = Pipeline.replaySegments(spark, logDir, s"$dir/t$run", epochs, Some(audit))
         val wallSec = (System.nanoTime() - t0) / 1e9
         System.err.println(s"[bench] cores=$cores run=$run epoch wallMs: " +
           stats.map(_.wallMs).mkString(", ") + f" total=$wallSec%.1fs")
@@ -144,7 +146,8 @@ object Bench {
     * threads, overstating the small-cluster throughput and understating
     * scaling efficiency. Returns (cdc events/sec, hw cpu ops/sec,
     * hw memory bandwidth bytes/sec). */
-  private def cdcSubprocess(cores: Int, events: Long, epochs: Int): (Double, Double, Double) = {
+  private def cdcSubprocess(cores: Int, events: Long, epochs: Int,
+      logDir: String): (Double, Double, Double) = {
     val javaBin = sys.props("java.home") + "/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -159,7 +162,7 @@ object Bench {
     // 32-thread allocation pressure page-faults tens of GB and produced
     // multi-second stalls (measured 35-65s epoch outliers); Xms=Xmx +
     // AlwaysPreTouch eliminates them entirely
-    val heapGb = math.max(4, cores * 3 / 4)
+    val heapGb = math.max(4, cores / 2) // pretouch cost scales with heap; 16g@32 suffices
     val pin =
       if (new java.io.File("/usr/bin/taskset").exists())
         Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
@@ -168,7 +171,7 @@ object Bench {
       s"-Xmx${heapGb}g", s"-Xms${heapGb}g", "-XX:+AlwaysPreTouch",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++ addOpens ++
       Seq("-cp", sys.props("java.class.path"), "graft.Bench",
-        "cdc-only", cores.toString, events.toString, epochs.toString)
+        "cdc-only", cores.toString, events.toString, epochs.toString, logDir)
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
     val proc = pb.start()
     val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toSeq
@@ -185,11 +188,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length == 4 && args(0) == "cdc-only") {
+    if (args.length == 5 && args(0) == "cdc-only") {
       val cores = args(1).toInt
       val hw = hwThroughput(cores)
       val mem = hwMemBandwidth(cores)
-      val thr = cdcRun(cores, args(2).toLong, args(3).toInt)
+      val thr = cdcRun(cores, args(2).toLong, args(3).toInt, args(4))
       println(f"HW_OPS_PER_SEC=$hw%.0f")
       println(f"HW_MEM_BYTES_PER_SEC=$mem%.0f")
       println(f"CDC_EVENTS_PER_SEC=$thr%.1f")
@@ -198,12 +201,16 @@ object Bench {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "12000000").toLong
+    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "8000000").toLong
     val cdcEpochs = sys.env.getOrElse("SPARK_GRAFT_CDC_EPOCHS", "4").toInt
 
     // ---- query timings at sfDir -----------------------------------
     val spark = session(cpus, cpus)
     spark.read.parquet(s"$sfDir/nation.parquet").count() // warm I/O + JVM
+    // materialize the shared binlog fixture once, reusing this session
+    val logDir = s"$scratchRoot/log"
+    rmTree(logDir)
+    Pipeline.writeLogSegments(spark, benchCfg(cdcEvents), logDir, cdcEpochs, filesPerSegment = 0)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -213,8 +220,9 @@ object Bench {
     spark.stop()
 
     // ---- CDC dual-parallelism throughput (isolated JVMs) -----------
-    val (thr8, hw8, mem8) = cdcSubprocess(8, cdcEvents, cdcEpochs)
-    val (thr32, hw32, mem32) = cdcSubprocess(32, cdcEvents, cdcEpochs)
+    val (thr8, hw8, mem8) = cdcSubprocess(8, cdcEvents, cdcEpochs, logDir)
+    val (thr32, hw32, mem32) = cdcSubprocess(32, cdcEvents, cdcEpochs, logDir)
+    rmTree(logDir)
     val eff = (thr32 / thr8) / 4.0
     val hwCeiling = (hw32 / hw8) / 4.0
     val memCeiling = (mem32 / mem8) / 4.0

@@ -93,10 +93,41 @@ object ExtraOps {
           .select(col("window.start").as("win_start"), col("event_type"),
             col("cnt"), col("sum_value")),
         outputMode = "complete")
+    }),
+
+    // file-provenance: event-time/lineage parsed from the input file
+    // path (the reference parses event time from filenames,
+    // SYMPHONIEReader.py:71-78); input_file_name has no DuckDB
+    // equivalent -> rows-only
+    "q43_file_provenance" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(regexp_extract(input_file_name(), "([^/]+)\\.parquet", 1).as("source_file"))
+        .agg(count(lit(1)).as("rows"), min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    }),
+
+    // ASCII/TSV sink + source round-trip (the reference's ASCII
+    // time-series writer/reader pair, DefaultTimePointWriter.py:30-948,
+    // XYCoordinatesReader.py:24-50): write TSV with header, read back
+    // with an explicit schema, aggregate — must equal aggregating the
+    // original table
+    "q44_tsv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tsv").toString
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").option("sep", "\t").option("header", "true").csv(tmp)
+      s.read
+        .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .option("sep", "\t").option("header", "true").csv(tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_tsv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_orderstatus""",
     "q37_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty, count(*) AS cnt

@@ -68,6 +68,25 @@ class CdcApplySpec extends AnyFunSuite {
     assertSameState(got, want)
   }
 
+  test("adversarial single-hot-key flood: salted ≡ unsalted ≡ oracle") {
+    // every event hits ONE key — the worst case the salted two-stage
+    // reduce exists for (north-rule skew handling)
+    val hot = GenConfig(numEvents = 30000L, numRepos = 1L, pathsPerRepo = 1L)
+    def state(salted: Boolean) = {
+      val dir = TestSpark.tmpDir("cdc-hot")
+      Pipeline.runBatchEpochs(spark, hot, s"$dir/t", 3, salted = salted)
+      new LakeTable(s"$dir/t").read(spark).select(stateCols.map(col): _*)
+    }
+    val want = Oracle.fold(spark, ChangeLogGen.events(spark, hot).drop("delivery"))
+      .select(stateCols.map(col): _*)
+    Seq(true, false).foreach { s =>
+      val got = state(s)
+      assert(got.count() <= 10L) // path has a 10-way dir component
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"salted=$s hot-key state mismatch")
+    }
+  }
+
   test("epoch re-commit is idempotent (exactly-once)") {
     val dir = TestSpark.tmpDir("cdc-idem")
     val table = new LakeTable(s"$dir/t")
