@@ -86,7 +86,7 @@ object Relational {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("rk"))
     }),
@@ -159,7 +159,7 @@ object Relational {
     // §2.10 tumbling event-time window aggregation
     "q13_time_window" -> ((s, dir) => {
       t(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
     }),
 

@@ -47,7 +47,7 @@ object SimilarityOps {
     "q28_knn_brute" -> ((s, dir) => {
       val e = emb(s, dir)
       e.knnCosine(e.filter(col("vec_id") < NumQueries), "vec_id", "v", TopK)
-        .select(col("query_id"), col("neighbor_id"), col("rk"))
+        .select(col("query_id"), col("neighbor_id"), col("rk").cast("long").as("rk"))
     }),
 
     // LSH-bucketed ANN: 8-bit hyperplane signature, candidates share the
@@ -72,7 +72,7 @@ object SimilarityOps {
         .withColumn("cos", CosineSimilarity(col("v"), col("qv")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= TopK)
-        .select(col("query_id"), col("neighbor_id"), col("rk"))
+        .select(col("query_id"), col("neighbor_id"), col("rk").cast("long").as("rk"))
     }),
 
     // embedding-cosine near-duplicate pairs above a high threshold

@@ -42,9 +42,9 @@ object TextOps {
       docs(s, dir)
         .select(
           col("doc_id"),
-          toks.as("n_tokens"),
-          punct.as("n_punct"),
-          stop.as("n_stop"),
+          toks.cast("long").as("n_tokens"),
+          punct.cast("long").as("n_punct"),
+          stop.cast("long").as("n_stop"),
           round(
             when(toks > 0,
               least(lit(1.0), toks.cast("double") / 100.0) *
