@@ -133,11 +133,15 @@ object ChangeLogGen {
           .when(col("schemaVersion") === 1, afterV1)
           .when(col("schemaVersion") === 2, afterV2)
           .otherwise(afterV34))
+      // this synthetic source does not capture row pre-images (common for
+      // heartbeat/snapshot-less captures); the envelope still carries the
+      // slot so sources that do can fill it
+      .withColumn("before", lit(null).cast(StringType))
       .withColumn(
         "delivery", // always on the 2*id scale so epoch-window math is uniform
         if (cfg.disorderWindow <= 0) col("id") * lit(2L)
         else col("id") * lit(2L) + pmod(h(6), lit(2L * cfg.disorderWindow + 1L)) - lit(cfg.disorderWindow))
-      .select("op", "lsn", "ts", "schemaVersion", "repo", "path", "after", "delivery")
+      .select("op", "lsn", "ts", "schemaVersion", "repo", "path", "before", "after", "delivery")
   }
 
 }

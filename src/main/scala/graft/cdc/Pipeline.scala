@@ -20,7 +20,7 @@ object Pipeline {
     StructField("op", StringType), StructField("lsn", LongType),
     StructField("ts", TimestampType), StructField("schemaVersion", IntegerType),
     StructField("repo", StringType), StructField("path", StringType),
-    StructField("after", StringType)))
+    StructField("before", StringType), StructField("after", StringType)))
 
   /** Epoch id of each delivered row: contiguous ranges of the delivery
     * position. With disorder, some events land one epoch later than

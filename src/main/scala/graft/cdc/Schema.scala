@@ -22,6 +22,10 @@ final case class ChangeEvent(
     schemaVersion: Int,
     repo: String,
     path: String,
+    before: String, // JSON pre-image when the source captures one (null
+                    // for inserts and for sources without row images);
+                    // the apply path is after-image-driven (full-image
+                    // LWW), before is reserved for lost-update audits
     after: String // JSON payload, null for D
 )
 
