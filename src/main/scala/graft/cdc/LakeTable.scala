@@ -70,15 +70,22 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   private def manifestPath(version: Long): Path =
     manifestDir.resolve(f"v$version%09d.json")
 
-  def latest(): Option[Snapshot] = {
-    if (!Files.isDirectory(manifestDir)) return None
-    val versions = Files.list(manifestDir).iterator().asScala
+  private def versions(): Seq[Long] = {
+    if (!Files.isDirectory(manifestDir)) return Nil
+    Files.list(manifestDir).iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq
-    if (versions.isEmpty) None else Some(readManifest(versions.max))
+      .toSeq.sorted
   }
+
+  def latest(): Option[Snapshot] =
+    versions().lastOption.map(readManifest)
+
+  /** Time travel: the snapshot committed as version `v` (like Iceberg's
+    * VERSION AS OF). */
+  def snapshotAt(v: Long): Option[Snapshot] =
+    versions().find(_ == v).map(readManifest)
 
   private def readManifest(version: Long): Snapshot = {
     val node = mapper.readTree(Files.readAllBytes(manifestPath(version)))
@@ -159,8 +166,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
 
   /** All live rows incl. tombstones, aligned to the current registry
     * schema. One scan per schema era, then unionByName. */
-  private def rawRows(spark: SparkSession): Option[DataFrame] = {
-    latest().flatMap { s =>
+  private def rawRows(spark: SparkSession, snapshot: Option[Snapshot]): Option[DataFrame] = {
+    snapshot.flatMap { s =>
       val dfs = s.groups.map { g =>
         SchemaRegistry.alignToCurrent(spark.read.parquet(s"$root/${g.dir}"))
       }
@@ -169,10 +176,16 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   }
 
   /** Last-writer-wins reconstruction per key; deletes drop out. */
-  def read(spark: SparkSession): DataFrame = {
+  def read(spark: SparkSession): DataFrame = readAt(spark, latest())
+
+  /** Time-travel read: state as of committed snapshot `version`. */
+  def readVersion(spark: SparkSession, version: Long): DataFrame =
+    readAt(spark, snapshotAt(version))
+
+  private def readAt(spark: SparkSession, snapshot: Option[Snapshot]): DataFrame = {
     val payload = SchemaRegistry.currentPayloadNames
     val valueCols = Seq("op", "lsn", "ts") ++ payload
-    rawRows(spark) match {
+    rawRows(spark, snapshot) match {
       case None =>
         val fields = Seq(
           StructField("repo", StringType), StructField("path", StringType),
@@ -215,4 +228,23 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   }
 
   def deltaGroupCount: Int = latest().map(_.totalDeltaGroups).getOrElse(0)
+
+  /** Expire old snapshots (single-writer vacuum): keep the newest
+    * `keep` manifests, drop older ones, and delete data file groups no
+    * kept snapshot references — the Iceberg expire_snapshots /
+    * remove_orphan_files analogue. Time travel remains available for
+    * kept versions only. */
+  def expireSnapshots(keep: Int = 1): Unit = {
+    val vs = versions()
+    if (vs.size <= keep) return
+    val referenced = vs.takeRight(keep).flatMap(v => readManifest(v).groups.map(_.dir)).toSet
+    vs.dropRight(keep).foreach(v => Files.deleteIfExists(manifestPath(v)))
+    if (Files.isDirectory(dataDir)) {
+      Files.list(dataDir).iterator().asScala.toSeq.foreach { d =>
+        if (!referenced.contains(s"data/${d.getFileName}")) {
+          Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
+  }
 }

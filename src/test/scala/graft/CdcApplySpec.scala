@@ -136,6 +136,27 @@ class CdcApplySpec extends AnyFunSuite {
     assert(Oracle.digest(table.read(spark), stateCols) == before)
   }
 
+  test("time travel + snapshot expiry (vacuum)") {
+    val dir = TestSpark.tmpDir("cdc-tt")
+    Pipeline.runBatchEpochs(spark, cfg, s"$dir/t", epochs = 4)
+    val table = new LakeTable(s"$dir/t")
+    val head = table.latest().get.version
+    // state at an earlier snapshot is a strict prefix of the log
+    val early = table.readVersion(spark, head - 2).count()
+    val full = table.read(spark).count()
+    assert(early > 0 && early < full, s"early=$early full=$full")
+    // vacuum: compact, keep only the newest snapshot, state unchanged
+    val digest = Oracle.digest(table.read(spark), stateCols)
+    table.compact(spark)
+    table.expireSnapshots(keep = 1)
+    assert(Oracle.digest(table.read(spark), stateCols) == digest)
+    assert(table.snapshotAt(head - 2).isEmpty, "expired snapshot must be gone")
+    // only the compacted base group's data remains on disk
+    val dataDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dir/t/data")).count()
+    assert(dataDirs == 1, s"expected 1 surviving group dir, got $dataDirs")
+  }
+
   test("audit lineage rows cover the full LSN range") {
     val dir = TestSpark.tmpDir("cdc-audit")
     val audit = new Audit(s"$dir/audit")
