@@ -122,6 +122,7 @@ object Pipeline {
       audit: Option[Audit] = None,
       maxFilesPerTrigger: Int = 1,
       failAfterEpoch: Option[Long] = None,
+      failBeforeEpoch: Option[Long] = None,
       compactEvery: Int = 0): Unit = {
     val table = new LakeTable(tableDir)
     val stream = spark.readStream
@@ -133,6 +134,17 @@ object Pipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // crash BEFORE the lake commit, first delivery only (marker file
+        // so the restart's redelivery proceeds): the batch must then be
+        // APPLIED on resume — the other half of exactly-once vs the
+        // already-committed replay that failAfterEpoch exercises
+        failBeforeEpoch.foreach { f =>
+          val marker = java.nio.file.Paths.get(tableDir, s".crash-before-$f")
+          if (epochId == f && !java.nio.file.Files.exists(marker)) {
+            java.nio.file.Files.createFile(marker)
+            throw new RuntimeException(s"injected failure before epoch $f commit")
+          }
+        }
         Apply.applyEpoch(batch.sparkSession, table, batch, epochId, audit)
         if (compactEvery > 0 && table.deltaGroupCount >= compactEvery)
           table.compact(batch.sparkSession)

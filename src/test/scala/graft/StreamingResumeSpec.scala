@@ -48,6 +48,28 @@ class StreamingResumeSpec extends AnyFunSuite {
     assert(table.latest().get.version == 6L)
   }
 
+  test("crash BEFORE commit: restart applies the batch (no loss)") {
+    val dir = TestSpark.tmpDir("cdc-stream3")
+    val (logDir, tableDir, ckDir) = (s"$dir/log", s"$dir/table", s"$dir/ck")
+    Pipeline.writeLogSegments(spark, cfg, logDir, segments = 5)
+    val crashed =
+      try {
+        Pipeline.runStream(spark, logDir, tableDir, ckDir, failBeforeEpoch = Some(2L))
+        false
+      } catch { case _: StreamingQueryException => true }
+    assert(crashed)
+    val table = new LakeTable(tableDir)
+    // epoch 2 was NOT committed before the crash
+    assert(table.latest().get.epochId == 1L)
+    // resume: epoch 2 redelivers and must be applied this time
+    Pipeline.runStream(spark, logDir, tableDir, ckDir, failBeforeEpoch = Some(2L))
+    assert(table.latest().get.epochId == 4L)
+    val got = table.read(spark)
+    val want = Oracle.fold(spark, ChangeLogGen.events(spark, cfg).drop("delivery"))
+    assert(got.select(stateCols.map(col): _*).exceptAll(want.select(stateCols.map(col): _*)).count() == 0)
+    assert(want.select(stateCols.map(col): _*).exceptAll(got.select(stateCols.map(col): _*)).count() == 0)
+  }
+
   test("mid-stream compaction during streaming keeps state correct") {
     val dir = TestSpark.tmpDir("cdc-stream2")
     Pipeline.writeLogSegments(spark, cfg, s"$dir/log", segments = 5)
