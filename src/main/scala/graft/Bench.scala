@@ -30,8 +30,10 @@ object Bench {
     val p = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
     }
   }
 

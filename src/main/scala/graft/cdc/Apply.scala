@@ -111,16 +111,16 @@ object Apply {
         count(lit(1)).as("rows_in_batch"))
     val reduced = if (salted) saltedReduce(envelope) else reduce(envelope)
     val normalized = normalize(reduced, batchVersion)
-    val committed = table.upsert(normalized, epochId, batchVersion)
+    val commit = table.upsert(normalized, epochId, batchVersion)
     val tUpsert = t()
 
     val inputRows =
-      if (committed) obs.get.get("rows_in_batch").map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (commit.committed) obs.get.get("rows_in_batch").map(_.asInstanceOf[Long]).getOrElse(0L)
       else 0L
 
     val wallMs = (System.nanoTime() - t0) / 1000000L
-    val stats = ApplyStats(epochId, inputRows, -1L, batchVersion, committed, wallMs)
-    if (committed) audit.foreach(_.recordAsync(spark, table, obs.get, stats))
+    val stats = ApplyStats(epochId, inputRows, -1L, batchVersion, commit.committed, wallMs)
+    if (commit.committed) audit.foreach(_.recordAsync(spark, table, commit.group, obs.get, stats))
     if (sys.env.contains("GRAFT_APPLY_TIMING"))
       System.err.println(f"[apply] epoch=$epochId probe=${(tProbe - t1) / 1e9}%.2fs " +
         f"upsert=${(tUpsert - tProbe) / 1e9}%.2fs audit=${(t() - tUpsert) / 1e9}%.2fs")

@@ -34,12 +34,13 @@ final class Audit(val dir: String) {
   def recordAsync(
       spark: SparkSession,
       table: LakeTable,
+      group: Option[FileGroup],
       rawStats: Map[String, Any],
       stats: ApplyStats): Unit = {
     val snap = table.latest() // resolve the snapshot NOW, not at run time
     worker.submit(new Runnable {
       def run(): Unit =
-        try record(spark, table.root, snap, rawStats, stats)
+        try record(spark, table.root, snap, group, rawStats, stats)
         catch { case t: Throwable => pending.compareAndSet(null, t) }
     })
     ()
@@ -56,20 +57,24 @@ final class Audit(val dir: String) {
   def record(
       spark: SparkSession,
       table: LakeTable,
+      group: Option[FileGroup],
       rawStats: Map[String, Any],
       stats: ApplyStats): Unit =
-    record(spark, table.root, table.latest(), rawStats, stats)
+    record(spark, table.root, table.latest(), group, rawStats, stats)
 
   private def record(
       spark: SparkSession,
       tableRoot: String,
       snap: Option[Snapshot],
+      group: Option[FileGroup],
       rawStats: Map[String, Any],
       stats: ApplyStats): Unit = {
     val snapshotVersion = snap.map(_.version).getOrElse(-1L)
     def stat(k: String): Long =
       rawStats.get(k).collect { case l: Long => l }.getOrElse(-1L)
-    snap.flatMap(_.groups.lastOption).foreach { g =>
+    // only the group THIS epoch appended: an empty epoch (commit with no
+    // files) must not re-record the previous group's rows under its id
+    group.foreach { g =>
       spark.read.parquet(s"$tableRoot/${g.dir}")
         .groupBy(col("bucket"))
         .agg(

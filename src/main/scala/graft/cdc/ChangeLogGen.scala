@@ -46,8 +46,10 @@ object ChangeLogGen {
   def physicalRows(cfg: GenConfig): Long =
     if (cfg.dupEvery <= 0) cfg.numEvents
     else {
-      // logical(e) = j - floor((j+1)/k) is surjective; solve approximately
-      val k = cfg.dupEvery
+      // logical(e) = j - floor((j+1)/k) is surjective; solve approximately.
+      // Clamp k exactly like events() does (dupEvery=1 would otherwise
+      // divide by zero here while events() silently used k=2).
+      val k = math.max(cfg.dupEvery, 2L)
       val p = cfg.numEvents * k / (k - 1)
       p
     }

@@ -3,6 +3,7 @@ package graft.cdc
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -26,6 +27,13 @@ final case class Snapshot(
     schemaVersion: Int,
     groups: Seq[FileGroup],
     totalDeltaGroups: Int)
+
+/** Result of an upsert: whether the epoch committed (false = idempotent
+  * replay skip) and the file group it appended (None for an empty
+  * epoch that only advanced the high-water mark). Auditing MUST use
+  * `group` rather than "the last group of the snapshot" — an empty
+  * epoch's snapshot still ends with the previous epoch's group. */
+final case class CommitResult(committed: Boolean, group: Option[FileGroup])
 
 /** Self-managed snapshot/manifest lake table with MERGE-upsert semantics
   * (merge-on-read + background compaction), built because no Iceberg
@@ -70,14 +78,25 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   private def manifestPath(version: Long): Path =
     manifestDir.resolve(f"v$version%09d.json")
 
+  // Every Files.list/walk stream is closed via Using.resource: each
+  // holds a directory fd, and a long replay (the 10^10-event design
+  // point is many thousands of epochs, each calling latest()) would
+  // otherwise exhaust file descriptors (EMFILE).
   private def versions(): Seq[Long] = {
     if (!Files.isDirectory(manifestDir)) return Nil
-    Files.list(manifestDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
+    Using.resource(Files.list(manifestDir)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toLong }
+        .toSeq.sorted
+    }
   }
+
+  private def hasParquet(dir: Path): Boolean =
+    Using.resource(Files.walk(dir)) { st =>
+      st.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+    }
 
   def latest(): Option[Snapshot] =
     versions().lastOption.map(readManifest)
@@ -133,13 +152,13 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   /** Append one reduced, normalized batch as a delta file group and
     * commit snapshot `epochId`. The batch must be one row per key
     * (last-writer-wins already reduced, tombstones as op='D').
-    * Returns false iff the epoch was already committed (idempotent
-    * replay after restart — the written files of the aborted attempt
-    * stay unreferenced). */
-  def upsert(batch: DataFrame, epochId: Long, batchSchemaVersion: Int): Boolean = {
+    * Returns committed=false iff the epoch was already committed
+    * (idempotent replay after restart — the written files of the
+    * aborted attempt stay unreferenced). */
+  def upsert(batch: DataFrame, epochId: Long, batchSchemaVersion: Int): CommitResult = {
     init()
     val prev = latest()
-    if (prev.exists(_.epochId >= epochId)) return false
+    if (prev.exists(_.epochId >= epochId)) return CommitResult(committed = false, None)
 
     val groupDir = s"data/${UUID.randomUUID().toString.take(12)}"
     val cols = stateCols(batchSchemaVersion)
@@ -151,15 +170,16 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
 
     // an empty epoch still advances the commit high-water mark, but a
     // file-less group must not be referenced (unreadable schema)
-    val wroteFiles = Files.walk(Paths.get(root, groupDir)).iterator().asScala
-      .exists(_.getFileName.toString.endsWith(".parquet"))
+    val written =
+      if (hasParquet(Paths.get(root, groupDir)))
+        Some(FileGroup(groupDir, batchSchemaVersion, "delta"))
+      else None
     val newSchemaVersion = math.max(prev.map(_.schemaVersion).getOrElse(1), batchSchemaVersion)
-    val groups = prev.map(_.groups).getOrElse(Nil) ++
-      (if (wroteFiles) Seq(FileGroup(groupDir, batchSchemaVersion, "delta")) else Nil)
+    val groups = prev.map(_.groups).getOrElse(Nil) ++ written.toSeq
     commitManifest(Snapshot(
       prev.map(_.version).getOrElse(0L) + 1L, epochId, newSchemaVersion, groups,
       groups.count(_.kind == "delta")))
-    true
+    CommitResult(committed = true, written)
   }
 
   // ---- read (merge-on-read reconstruction) -------------------------
@@ -187,9 +207,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     val valueCols = Seq("op", "lsn", "ts") ++ payload
     rawRows(spark, snapshot) match {
       case None =>
+        // same shape as the non-empty branch (which drops `op` after
+        // filtering tombstones) — a read must not change schema with
+        // table emptiness
         val fields = Seq(
           StructField("repo", StringType), StructField("path", StringType),
-          StructField("op", StringType), StructField("lsn", LongType),
+          StructField("lsn", LongType),
           StructField("ts", TimestampType)) ++
           SchemaRegistry.fields.map(f => StructField(f.current.name, f.current.dataType))
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
@@ -219,8 +242,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
         .repartition(col("bucket"))
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"$root/$groupDir")
-      val wroteFiles = Files.walk(Paths.get(root, groupDir)).iterator().asScala
-        .exists(_.getFileName.toString.endsWith(".parquet"))
+      val wroteFiles = hasParquet(Paths.get(root, groupDir))
       commitManifest(Snapshot(
         s.version + 1L, s.epochId, s.schemaVersion,
         if (wroteFiles) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil, 0))
@@ -240,9 +262,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     val referenced = vs.takeRight(keep).flatMap(v => readManifest(v).groups.map(_.dir)).toSet
     vs.dropRight(keep).foreach(v => Files.deleteIfExists(manifestPath(v)))
     if (Files.isDirectory(dataDir)) {
-      Files.list(dataDir).iterator().asScala.toSeq.foreach { d =>
+      val dirs = Using.resource(Files.list(dataDir))(_.iterator().asScala.toSeq)
+      dirs.foreach { d =>
         if (!referenced.contains(s"data/${d.getFileName}")) {
-          Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          Using.resource(Files.walk(d))(_.iterator().asScala.toSeq)
+            .reverse.foreach(Files.deleteIfExists(_))
         }
       }
     }

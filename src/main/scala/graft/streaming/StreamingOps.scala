@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * Each op takes a STREAMING DataFrame and returns the transformed
   * streaming frame; `runToBatch` drives any of them over a bounded
   * file source synchronously (memory sink + AvailableNow) so batch
-  * oracles can check them — used by q36 in the driver gate and by
+  * oracles can check them — used by q40 in the driver gate and by
   * StreamingOpsSpec.
   */
 object StreamingOps {
