@@ -14,7 +14,8 @@ import graft.cdc._
   *
   * The 10^10-event design point is NOT run in-sandbox; the generator is
   * scale-free (pure expressions of (seed, i)) and the measured figure is
-  * sustained events/sec at SPARK_GRAFT_CDC_EVENTS (default 6M).
+  * the MEDIAN of 3 sustained events/sec replays (min/max reported
+  * alongside) at SPARK_GRAFT_CDC_EVENTS (default 8M).
   */
 object Bench {
 
@@ -60,18 +61,19 @@ object Bench {
 
   /** One full CDC replay at a given parallelism over pre-materialized
     * binlog segments at `logDir` (a real binlog arrives as stored
-    * bytes, so the timed path starts at scan); returns events/sec.
-    * The replay runs TWICE (fresh table each time, same warm JVM) and
-    * the best run wins — the sandbox VM takes multi-second hypervisor
-    * steal bursts that would otherwise dominate a single measurement. */
-  private def cdcRun(cores: Int, numEvents: Long, epochs: Int, logDir: String): Double = {
+    * bytes, so the timed path starts at scan); returns events/sec of
+    * each of THREE timed replays (fresh table each time, same warm JVM)
+    * so the caller can report median + min/max — the sandbox VM takes
+    * multi-second hypervisor steal bursts, and a single measurement
+    * (or a silent best-of) hides that variance. */
+  private def cdcRun(cores: Int, numEvents: Long, epochs: Int, logDir: String): Seq[Double] = {
     val spark = session(cores, math.max(cores, 32))
     val dir = s"$scratchRoot/c$cores"
     try {
       val cfg = benchCfg(numEvents)
       // warm-up: JIT/codegen caches on a tiny slice (not timed)
       Pipeline.runBatchEpochs(spark, cfg.copy(numEvents = 50000L), s"$dir/warm", 1)
-      val thr = (1 to 2).map { run =>
+      (1 to 3).map { run =>
         val audit = new Audit(s"$dir/audit$run")
         val t0 = System.nanoTime()
         val stats = Pipeline.replaySegments(spark, logDir, s"$dir/t$run", epochs, Some(audit))
@@ -79,12 +81,18 @@ object Bench {
         System.err.println(s"[bench] cores=$cores run=$run epoch wallMs: " +
           stats.map(_.wallMs).mkString(", ") + f" total=$wallSec%.1fs")
         ChangeLogGen.physicalRows(cfg).toDouble / wallSec
-      }.max
-      thr
+      }
     } finally {
       spark.stop()
       rmTree(dir)
     }
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   /** Memory-bandwidth scaling ceiling at `threads` workers: per-thread
@@ -149,7 +157,7 @@ object Bench {
     * scaling efficiency. Returns (cdc events/sec, hw cpu ops/sec,
     * hw memory bandwidth bytes/sec). */
   private def cdcSubprocess(cores: Int, events: Long, epochs: Int,
-      logDir: String): (Double, Double, Double) = {
+      logDir: String): (Seq[Double], Double, Double) = {
     val javaBin = sys.props("java.home") + "/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -178,15 +186,17 @@ object Bench {
     val proc = pb.start()
     val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toSeq
     proc.waitFor()
+    def grabLine(prefix: String): Option[String] =
+      out.collectFirst { case s if s.startsWith(prefix) => s.stripPrefix(prefix) }
+    def missing(prefix: String): Unit =
+      System.err.println(s"[bench] subprocess (cores=$cores) missing $prefix; tail:\n" +
+        out.takeRight(15).mkString("\n"))
     def grab(prefix: String): Double =
-      out.collectFirst { case s if s.startsWith(prefix) =>
-        s.stripPrefix(prefix).toDouble
-      }.getOrElse {
-        System.err.println(s"[bench] subprocess (cores=$cores) missing $prefix; tail:\n" +
-          out.takeRight(15).mkString("\n"))
-        -1.0
-      }
-    (grab("CDC_EVENTS_PER_SEC="), grab("HW_OPS_PER_SEC="), grab("HW_MEM_BYTES_PER_SEC="))
+      grabLine(prefix).map(_.toDouble).getOrElse { missing(prefix); -1.0 }
+    val runs = grabLine("CDC_RUNS_EVENTS_PER_SEC=")
+      .map(_.split(",").toSeq.map(_.toDouble))
+      .getOrElse { missing("CDC_RUNS_EVENTS_PER_SEC="); Seq(-1.0) }
+    (runs, grab("HW_OPS_PER_SEC="), grab("HW_MEM_BYTES_PER_SEC="))
   }
 
   def main(args: Array[String]): Unit = {
@@ -194,10 +204,10 @@ object Bench {
       val cores = args(1).toInt
       val hw = hwThroughput(cores)
       val mem = hwMemBandwidth(cores)
-      val thr = cdcRun(cores, args(2).toLong, args(3).toInt, args(4))
+      val runs = cdcRun(cores, args(2).toLong, args(3).toInt, args(4))
       println(f"HW_OPS_PER_SEC=$hw%.0f")
       println(f"HW_MEM_BYTES_PER_SEC=$mem%.0f")
-      println(f"CDC_EVENTS_PER_SEC=$thr%.1f")
+      println("CDC_RUNS_EVENTS_PER_SEC=" + runs.map(r => f"$r%.1f").mkString(","))
       return
     }
 
@@ -213,27 +223,37 @@ object Bench {
     val logDir = s"$scratchRoot/log"
     rmTree(logDir)
     Pipeline.writeLogSegments(spark, benchCfg(cdcEvents), logDir, cdcEpochs, filesPerSegment = 0)
+    // Per-query failures are NOT swallowed: a crashed query must read
+    // as a failure, not as a suspiciously fast timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(e) }
+      err.foreach(e => System.err.println(s"[bench] QUERY FAILED $name: $e"))
+      (name, (System.nanoTime() - t0) / 1e9, err.isEmpty)
     }
     spark.stop()
 
     // ---- CDC dual-parallelism throughput (isolated JVMs) -----------
-    val (thr8, hw8, mem8) = cdcSubprocess(8, cdcEvents, cdcEpochs, logDir)
-    val (thr32, hw32, mem32) = cdcSubprocess(32, cdcEvents, cdcEpochs, logDir)
+    val (runs8, hw8, mem8) = cdcSubprocess(8, cdcEvents, cdcEpochs, logDir)
+    val (runs32, hw32, mem32) = cdcSubprocess(32, cdcEvents, cdcEpochs, logDir)
     rmTree(logDir)
+    val (thr8, thr32) = (median(runs8), median(runs32))
     val eff = (thr32 / thr8) / 4.0
     val hwCeiling = (hw32 / hw8) / 4.0
     val memCeiling = (mem32 / mem8) / 4.0
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.0f").mkString("[", ",", "]")
     val cdcJson =
-      f"""{"events":$cdcEvents,"epochs":$cdcEpochs,"events_per_sec_local8":$thr8%.0f,"events_per_sec_local32":$thr32%.0f,"scaling_efficiency_8_to_32":$eff%.3f,"hw_cpu_scaling_ceiling_8_to_32":$hwCeiling%.3f,"hw_mem_bw_scaling_ceiling_8_to_32":$memCeiling%.3f,"scaling_efficiency_vs_mem_ceiling":${if (memCeiling > 0) eff / memCeiling else -1.0}%.3f,"mem_bw_gbps_8":${mem8 / 1e9}%.1f,"mem_bw_gbps_32":${mem32 / 1e9}%.1f}"""
-    println(
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson}""")
+      f"""{"events":$cdcEvents,"epochs":$cdcEpochs,"events_per_sec_local8":$thr8%.0f,"events_per_sec_local32":$thr32%.0f,"runs_local8":${arr(runs8)},"runs_local32":${arr(runs32)},"min_local8":${runs8.min}%.0f,"max_local8":${runs8.max}%.0f,"min_local32":${runs32.min}%.0f,"max_local32":${runs32.max}%.0f,"scaling_efficiency_8_to_32":$eff%.3f,"hw_cpu_scaling_ceiling_8_to_32":$hwCeiling%.3f,"hw_mem_bw_scaling_ceiling_8_to_32":$memCeiling%.3f,"scaling_efficiency_vs_mem_ceiling":${if (memCeiling > 0) eff / memCeiling else -1.0}%.3f,"mem_bw_gbps_8":${mem8 / 1e9}%.1f,"mem_bw_gbps_32":${mem32 / 1e9}%.1f}"""
+    val json =
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"queries_failed":$failed,"sf":"$sfDir","cdc":$cdcJson}"""
+    // stdout (driver parse) AND a bare file (survives any log wrapping)
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
   }
 }

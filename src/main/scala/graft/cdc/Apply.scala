@@ -94,12 +94,17 @@ object Apply {
       rawEvents: DataFrame,
       epochId: Long,
       audit: Option[Audit] = None,
-      salted: Boolean = false): ApplyStats = {
+      salted: Boolean = false,
+      versionHint: Option[Int] = None): ApplyStats = {
     val t0 = System.nanoTime()
 
     def t() = System.nanoTime()
     val t1 = t()
-    val batchVersion = rawEvents.agg(coalesce(max(col("schemaVersion")), lit(1))).collect()(0).getInt(0)
+    // era probe: prefer the caller-provided hint (parquet footer stats —
+    // see ParquetStats.maxInt, zero data scanned); fall back to a
+    // column-pruned scan for sources without footer metadata
+    val batchVersion = versionHint.getOrElse(
+      rawEvents.agg(coalesce(max(col("schemaVersion")), lit(1))).collect()(0).getInt(0))
     val tProbe = t()
 
     val obs = org.apache.spark.sql.Observation(s"graft-epoch-$epochId-${System.nanoTime()}")

@@ -101,8 +101,11 @@ object Pipeline {
       audit: Option[Audit] = None): Seq[ApplyStats] = {
     val table = new LakeTable(tableDir)
     val stats = (0 until segments).map { s =>
-      val batch = spark.read.schema(envelopeSchema).parquet(f"$logDir/seg-$s%05d")
-      Apply.applyEpoch(spark, table, batch, s.toLong, audit)
+      val segDir = f"$logDir/seg-$s%05d"
+      val batch = spark.read.schema(envelopeSchema).parquet(segDir)
+      // era probe from footer stats: O(files) metadata, no data scan
+      val hint = ParquetStats.maxInt(spark, segDir, "schemaVersion")
+      Apply.applyEpoch(spark, table, batch, s.toLong, audit, versionHint = hint)
     }
     audit.foreach(_.flush())
     stats

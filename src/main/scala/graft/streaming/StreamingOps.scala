@@ -92,6 +92,11 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Stateful queries start a JVM-global StateStore maintenance task
+    // that outlives spark.stop() and then throws "SparkEnv not active"
+    // from its scheduler thread (it corrupted round-1's bench stderr).
+    // The bounded query is done — shut the maintenance pool down.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.table(name)
   }
 }
