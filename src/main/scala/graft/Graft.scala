@@ -125,6 +125,70 @@ object Graft {
         .drop("_pv", "_nv", "_pt", "_nt")
     }
 
+    /** Per-key order-N IIR filter (scipy lfilter semantics, zero
+      * initial state): y determined by the (b, a) coefficient vectors —
+      * the generalization of the reference's Butterworth low-pass
+      * (point/utils/filters.py:18-27). Scale path: repartition by key +
+      * sortWithinPartitions + one streaming fold per partition — state
+      * is O(filter order) per key, NEVER the whole per-key series in
+      * memory (a hot key cannot OOM a task). Appends `outCol`. */
+    def iirFilter(keyCol: String, orderCols: Seq[String], valueCol: String,
+        b: Array[Double], a: Array[Double], outCol: String = "filtered"): DataFrame = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val outSchema = StructType(df.schema.fields :+ StructField(outCol, DoubleType))
+      val ki = df.schema.fieldIndex(keyCol)
+      val vi = df.schema.fieldIndex(valueCol)
+      df.repartition(col(keyCol))
+        .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+        .mapPartitions { it =>
+          var curKey: Any = null
+          var state: Array[Double] = null
+          it.map { r =>
+            val k = r.get(ki)
+            if (state == null || !java.util.Objects.equals(k, curKey)) {
+              curKey = k
+              state = graft.functions.IIR.newState(b, a)
+            }
+            val y = graft.functions.IIR.step(b, a, state, r.getDouble(vi))
+            Row.fromSeq(r.toSeq :+ y)
+          }
+        }(Encoders.row(outSchema))
+    }
+
+    /** Exact n-gram Jaccard near-duplicate pairs with a document-
+      * frequency fence: shingles appearing in more than `maxShingleDf`
+      * documents are excluded from CANDIDATE GENERATION (the self-join),
+      * capping per-shingle join fan-out at maxShingleDf² — without the
+      * fence a corpus-wide common shingle makes the join quadratic in
+      * corpus size (the 100-TB straggler case). Set sizes stay uncapped,
+      * so for corpora where no shingle exceeds the cap the result equals
+      * the unfenced exact Jaccard. */
+    def ngramJaccardPairs(keyCol: String, textCol: String, n: Int = 3,
+        minJaccard: Double = 0.2, maxShingleDf: Int = 0): DataFrame = {
+      val ka = s"${keyCol}_a"
+      val kb = s"${keyCol}_b"
+      val sh = ngramShingles(keyCol, textCol, n).localCheckpoint(true)
+      val sizes = sh.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+      val joinable = if (maxShingleDf > 0) {
+        sh.withColumn("_df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+          .filter(col("_df") <= maxShingleDf).drop("_df")
+      } else sh
+      val a = joinable.select(col(keyCol).as(ka), col("shingle"))
+      val b = joinable.select(col(keyCol).as(kb), col("shingle"))
+      val inter = a.join(b, Seq("shingle"))
+        .filter(col(ka) < col(kb))
+        .groupBy(col(ka), col(kb))
+        .agg(count(lit(1)).as("_inter"))
+      inter
+        .join(sizes.select(col(keyCol).as(ka), col("_n").as("_na")), ka)
+        .join(sizes.select(col(keyCol).as(kb), col("_n").as("_nb")), kb)
+        .withColumn("jaccard",
+          round(col("_inter").cast("double") / (col("_na") + col("_nb") - col("_inter")).cast("double"), 6))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col(ka), col(kb), col("jaccard"))
+    }
+
     /** Distinct word-level n-gram shingles: (passthrough keyCol,
       * shingle). Codegen path: posexplode + window lead. */
     def ngramShingles(keyCol: String, textCol: String, n: Int = 3): DataFrame = {

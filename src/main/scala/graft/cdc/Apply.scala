@@ -131,4 +131,36 @@ object Apply {
         f"upsert=${(tUpsert - tProbe) / 1e9}%.2fs audit=${(t() - tUpsert) / 1e9}%.2fs")
     stats
   }
+
+  /** Before-image lost-update audit — the consumer of the envelope's
+    * `before` slot (Schema.scala). For each key's FIRST event in the
+    * batch that carries a pre-image, compare the pre-image's content
+    * sha256 against the CURRENT table state: a mismatch means the event
+    * was captured against a state this table never served (a lost
+    * update / out-of-band mutation between capture and apply). Returns
+    * the flagged keys (repo, path, lsn, expected_sha, actual_sha).
+    *
+    * Only the batch's first event per key is checked (and only when it
+    * carries a pre-image): later events' pre-images refer to intra-batch
+    * predecessors, which the epoch apply collapses, and a key born
+    * inside the batch has no state to compare against. Cost is O(batch
+    * keys) — one agg + one key-equi join against state; a diagnostic
+    * pass, not on the hot path. */
+  def lostUpdateAudit(spark: SparkSession, table: LakeTable, rawEvents: DataFrame): DataFrame = {
+    val first = rawEvents
+      .groupBy(col("repo"), col("path"))
+      .agg(min_by(struct(col("lsn"), col("before")), col("lsn")).as("_s"))
+      .select(col("repo"), col("path"), col("_s.lsn").as("lsn"), col("_s.before").as("before"))
+      .filter(col("before").isNotNull)
+      .withColumn("_b", SchemaRegistry.parsePayload(col("before")))
+      .select(col("repo"), col("path"), col("lsn"),
+        sha2(coalesce(col("_b.content"), lit("")), 256).as("expected_sha"))
+    val state = table.read(spark)
+      .select(col("repo"), col("path"),
+        sha2(coalesce(col("content"), lit("")), 256).as("actual_sha"))
+    // left join: a pre-image for a key the table does not even have is
+    // also a lost update (the captured row was deleted out-of-band)
+    first.join(state, Seq("repo", "path"), "left")
+      .filter(col("actual_sha").isNull || col("expected_sha") =!= col("actual_sha"))
+  }
 }

@@ -37,7 +37,14 @@ final case class GenConfig(
     disorderWindow: Long = 64L,
     padChunks: Int = 8, // content padding size multiplier (~34 bytes/chunk)
     // schemaVersion = 1 + number of thresholds (as fraction of numEvents) passed
-    schemaRamp: Seq[Double] = Seq(0.25, 0.5, 0.75)
+    schemaRamp: Seq[Double] = Seq(0.25, 0.5, 0.75),
+    // fill the envelope's `before` slot with the key's previous after-image
+    // (a row-image-capturing source, Debezium-style). Computed with a
+    // per-key window over the GENERATED range, so it is complete only
+    // when the log is generated in one window, and meaningful only with
+    // dupEvery = 0 (a redelivered twin would otherwise become its own
+    // pre-image). Test/audit use; the bench source leaves before null.
+    withBeforeImages: Boolean = false
 )
 
 object ChangeLogGen {
@@ -135,10 +142,17 @@ object ChangeLogGen {
           .when(col("schemaVersion") === 1, afterV1)
           .when(col("schemaVersion") === 2, afterV2)
           .otherwise(afterV34))
-      // this synthetic source does not capture row pre-images (common for
-      // heartbeat/snapshot-less captures); the envelope still carries the
-      // slot so sources that do can fill it
-      .withColumn("before", lit(null).cast(StringType))
+      // by default this synthetic source does not capture row pre-images
+      // (common for heartbeat/snapshot-less captures); with
+      // withBeforeImages it behaves like a row-image-capturing source:
+      // before = the key's previous after-image (null for a key's first
+      // event). Deletes' befores carry the content they removed.
+      .withColumn(
+        "before",
+        if (cfg.withBeforeImages)
+          lag(col("after"), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("repo"), col("path")).orderBy(col("lsn")))
+        else lit(null).cast(StringType))
       .withColumn(
         "delivery", // always on the 2*id scale so epoch-window math is uniform
         if (cfg.disorderWindow <= 0) col("id") * lit(2L)

@@ -34,16 +34,3 @@ class BBoxUnionAggregator extends Aggregator[(Double, Double), BBox, BBox] {
   override def bufferEncoder: Encoder[BBox] = Encoders.product[BBox]
   override def outputEncoder: Encoder[BBox] = Encoders.product[BBox]
 }
-
-/** First-order recursive IIR low-pass (exponential smoothing) — the
-  * per-key stateful sequence transform the reference implements as a
-  * scipy Butterworth filter (point/utils/filters.py:18-27), flagged
-  * "hard" in SURVEY.md §2.9 because every output depends on the full
-  * ordered prefix: y_i = alpha*x_i + (1-alpha)*y_{i-1}. Executed per
-  * key inside `flatMapGroups` (ordered in-memory fold per group —
-  * groups are single-key time series, small by construction). */
-object RecursiveFilter {
-  def lowpass(xs: Seq[Double], alpha: Double): Seq[Double] =
-    if (xs.isEmpty) Nil
-    else xs.tail.scanLeft(xs.head)((y, x) => alpha * x + (1 - alpha) * y)
-}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Graft._
 import graft.streaming.StreamingOps
 
 /** Additional aggregate/streaming coverage: rollup, distinct and
@@ -63,22 +64,33 @@ object ExtraOps {
           col("cnt"))
     }),
 
-    // per-key recursive IIR low-pass (Butterworth analogue,
-    // point/utils/filters.py:18-27) — ordered stateful fold per key via
-    // flatMapGroups; inherently sequential per key, so no SQL oracle
-    // (rows-only driver check + golden values in spec)
+    // per-key recursive IIR low-pass (first-order exponential smoothing
+    // in scipy lfilter form) — sort-within-partitions + streaming fold,
+    // O(1) state per key (the round-1 flatMapGroups version buffered the
+    // whole per-key series on one task: a hot key at 100x OOMs).
+    // Inherently sequential per key -> no SQL oracle (rows-only driver
+    // check + golden values in IIRSpec).
     "q42_lowpass" -> ((s, dir) => {
-      import s.implicits._
+      val (b, a) = graft.functions.IIR.exponential(0.3)
       s.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"), col("value"))
-        .as[(Long, Long, java.sql.Timestamp, Double)]
-        .groupByKey(_._1)
-        .flatMapGroups { (user, it) =>
-          val rows = it.toSeq.sortBy(r => (r._3.getTime, r._2))
-          val smoothed = graft.functions.RecursiveFilter.lowpass(rows.map(_._4), alpha = 0.3)
-          rows.zip(smoothed).map { case ((u, e, _, _), y) => (u, e, math.round(y * 1e6) / 1e6) }
-        }
-        .toDF("user_id", "event_id", "smoothed")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .iirFilter("user_id", Seq("ts", "event_id"), "value", b, a, "smoothed")
+        .select(col("user_id"), col("event_id"),
+          round(col("smoothed"), 6).as("smoothed"))
+    }),
+
+    // order-N IIR: a true 2nd-order digital Butterworth low-pass
+    // (the reference's scipy butter+lfilter, point/utils/filters.py:
+    // 18-27), coefficient-vector (b, a) design + per-key ordered
+    // streaming fold. Golden-value coefficients + response in IIRSpec;
+    // rows-only driver check (recursion has no SQL form).
+    "q46_iir_butterworth" -> ((s, dir) => {
+      val (b, a) = graft.functions.IIR.butterLowpass(order = 2, wn = 0.25)
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .iirFilter("user_id", Seq("ts", "event_id"), "value", b, a, "filtered")
+        .select(col("user_id"), col("event_id"),
+          round(col("filtered"), 6).as("filtered"))
     }),
 
     // Structured Streaming: tumbling event-time window aggregation over

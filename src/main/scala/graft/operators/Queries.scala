@@ -7,7 +7,7 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++
-      CdcOps.all ++ MultimodalOps.all ++ ExtraOps.all
+      CdcOps.all ++ MultimodalOps.all ++ ExtraOps.all ++ ToleranceOps.all
 
   /** DuckDB oracle SQL — identical output column names to the Spark
     * queries (the driver's compare sorts columns by name and hashes
@@ -155,5 +155,6 @@ object Queries {
                  FROM nation) n)
          GROUP BY c_custkey"""
   ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
-    CdcOps.oracles ++ MultimodalOps.oracles ++ ExtraOps.oracles
+    CdcOps.oracles ++ MultimodalOps.oracles ++ ExtraOps.oracles ++
+    ToleranceOps.oracles
 }

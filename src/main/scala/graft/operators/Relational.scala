@@ -18,7 +18,7 @@ object Relational {
   /** Fixed 6-hourly probe grid per event key — the reference's
     * fixed-frequency target time axis (`pandas.date_range(freq)`,
     * TimeCoverage.py:94-97) as `sequence()` + explode. */
-  private def probeGrid(s: SparkSession, dir: String): DataFrame =
+  private[operators] def probeGrid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").select(col("user_id")).distinct()
       .select(col("user_id"), explode(expr(
         "sequence(TIMESTAMP_NTZ '2024-01-02 00:00:00', TIMESTAMP_NTZ '2024-01-30 00:00:00', INTERVAL 6 HOURS)"))

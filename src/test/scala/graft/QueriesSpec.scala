@@ -63,14 +63,18 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("recursive low-pass filter matches hand-computed golden values") {
-    import graft.functions.RecursiveFilter
-    val got = RecursiveFilter.lowpass(Seq(1.0, 2.0, 3.0), alpha = 0.3)
-    assert(got.map(v => math.round(v * 100) / 100.0) == Seq(1.0, 1.3, 1.81))
-    assert(RecursiveFilter.lowpass(Nil, 0.3).isEmpty)
-    // smoothing bounds: output stays within the input envelope
+    import graft.functions.IIR
+    // lfilter convention (zero initial state, scipy parity):
+    // y0 = 0.3*1, y1 = 0.3*2 + 0.7*0.3, y2 = 0.3*3 + 0.7*0.81
+    val (b, a) = IIR.exponential(0.3)
+    val got = IIR.lfilter(b, a, Seq(1.0, 2.0, 3.0))
+    assert(got.map(v => math.round(v * 1000) / 1000.0) == Seq(0.3, 0.81, 1.467))
+    assert(IIR.lfilter(b, a, Nil).isEmpty)
+    // smoothing bounds: a convex-combination filter with zero initial
+    // state stays within the envelope of the inputs and 0
     val xs = Seq(5.0, -2.0, 7.5, 0.0, 3.3)
-    val ys = RecursiveFilter.lowpass(xs, 0.4)
-    assert(ys.forall(y => y >= xs.min && y <= xs.max))
+    val ys = IIR.lfilter(b, a, xs)
+    assert(ys.forall(y => y >= math.min(xs.min, 0.0) && y <= math.max(xs.max, 0.0)))
   }
 
   test("bbox union aggregator is associative/commutative (two-phase safe)") {
