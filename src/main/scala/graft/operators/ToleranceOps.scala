@@ -112,14 +112,31 @@ object ToleranceOps {
         col("c_custkey"),
         (pmod(col("c_custkey").cast("double") * 17.0, lit(160.0)) - 80.0).as("c_lat"),
         (pmod(col("c_custkey").cast("double") * 53.0, lit(360.0)) - 180.0).as("c_lon"))
-      val wLat = Window.partitionBy(col("c_custkey"))
-        .orderBy(abs(col("c_lat") - col("g_lat")), col("g_lat"))
-      val wLon = Window.partitionBy(col("c_custkey"))
-        .orderBy(abs(col("c_lon") - col("g_lon")), col("g_lon"))
-      cust.crossJoin(broadcast(latAxis))
-        .withColumn("_rn", row_number().over(wLat)).filter(col("_rn") === 1).drop("_rn")
-        .crossJoin(broadcast(lonAxis))
-        .withColumn("_rn", row_number().over(wLon)).filter(col("_rn") === 1).drop("_rn")
+      // per-axis argmin in TWO HASH-AGG PASSES per axis: (1) min |diff|
+      // per query point (map-side partial agg over the broadcast
+      // product — plain double buffer, hash-aggregatable), (2) re-probe
+      // the broadcast axis for the rows achieving that min and take
+      // min(axis) — np.argmin first-index tie semantics. Both window
+      // ranking and min_by-over-struct formulations degrade to a full
+      // SORT of the query x axis product (struct agg buffers are not
+      // hash-aggregatable) and were 3-6x slower at sf0.1. Shuffles stay
+      // O(query points); the product is never shuffled.
+      def axisArgmin(q: DataFrame, keep: Seq[String], qCol: String,
+          axis: DataFrame, aCol: String): DataFrame = {
+        val d = abs(col(qCol) - col(aCol))
+        val best = q.crossJoin(broadcast(axis))
+          .groupBy(col("c_custkey")).agg(min(d).as("_bd"))
+        q.join(best, "c_custkey")
+          .crossJoin(broadcast(axis))
+          .filter(d === col("_bd"))
+          .groupBy((keep :+ qCol).distinct.map(col): _*)
+          .agg(min(col(aCol)).as(aCol))
+          .drop("_bd")
+      }
+      val withLat = axisArgmin(cust, Seq("c_custkey", "c_lat", "c_lon"), "c_lat",
+        latAxis, "g_lat").localCheckpoint(true)
+      axisArgmin(withLat, Seq("c_custkey", "c_lat", "c_lon", "g_lat"), "c_lon",
+        lonAxis, "g_lon")
         .select(col("c_custkey"), col("g_lat"), col("g_lon"),
           round(haversineKm(col("c_lat"), col("c_lon"), col("g_lat"), col("g_lon")), 4)
             .as("dist_km"))
