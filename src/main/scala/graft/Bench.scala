@@ -71,8 +71,11 @@ object Bench {
     val dir = s"$scratchRoot/c$cores"
     try {
       val cfg = benchCfg(numEvents)
-      // warm-up: JIT/codegen caches on a tiny slice (not timed)
-      Pipeline.runBatchEpochs(spark, cfg.copy(numEvents = 50000L), s"$dir/warm", 1)
+      // warm-up: one full UNTIMED replay of the same segments — the
+      // timed path is parquet scan -> agg codegen -> parquet write, and
+      // a generator-based mini warm-up leaves all of that cold (the
+      // first timed replays ran 2-4x slower than steady state)
+      Pipeline.replaySegments(spark, logDir, s"$dir/warm", epochs)
       (1 to 3).map { run =>
         val audit = new Audit(s"$dir/audit$run")
         val t0 = System.nanoTime()

@@ -33,6 +33,15 @@ object Graft {
   def readTable(spark: SparkSession, tableDir: String): DataFrame =
     new LakeTable(tableDir).read(spark)
 
+  /** Incremental change read: the reduced change rows (op/lsn/ts +
+    * payload, tombstones included) committed in (sinceVersion,
+    * toVersion] — tail the table itself as a change source and chain
+    * CDC stages. O(changed rows); refuses ranges that cross a
+    * compaction (Iceberg incremental-scan contract). */
+  def readTableChanges(spark: SparkSession, tableDir: String,
+      sinceVersion: Long, toVersion: Long): DataFrame =
+    new LakeTable(tableDir).readChanges(spark, sinceVersion, toVersion)
+
   /** Tail a directory of binlog segments as a Structured Stream into
     * the lake table, checkpointed and exactly-once; resumes from
     * `checkpointDir` after a crash. */

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.Graft._
 import graft.cdc._
 
 /** Golden-state suites for the CDC apply path (SURVEY.md §5): the
@@ -155,6 +156,32 @@ class CdcApplySpec extends AnyFunSuite {
     val dataDirs = java.nio.file.Files.list(
       java.nio.file.Paths.get(s"$dir/t/data")).count()
     assert(dataDirs == 1, s"expected 1 surviving group dir, got $dataDirs")
+  }
+
+  test("incremental change read returns exactly the range's deltas") {
+    val dir = TestSpark.tmpDir("cdc-incr")
+    Pipeline.runBatchEpochs(spark, cfg, s"$dir/t", epochs = 4)
+    val table = new LakeTable(s"$dir/t")
+    val head = table.latest().get.version
+    // changes in (head-2, head] = the rows the last two epochs applied:
+    // replaying them over the state AT head-2 must reproduce head state
+    val changes = table.readChanges(spark, head - 2, head)
+    assert(changes.count() > 0)
+    assert(changes.columns.contains("op"), "tombstones must ride along")
+    val replayed = table.readVersion(spark, head - 2)
+      .withColumn("op", lit("U"))
+      .unionByName(changes)
+      .lastWriterWins(Seq("repo", "path"), col("lsn"))
+      .filter(col("op") =!= "D").drop("op")
+    assert(Oracle.digest(replayed, stateCols) ==
+      Oracle.digest(table.read(spark), stateCols))
+    // empty range is empty, same schema as a read
+    assert(table.readChanges(spark, head, head).count() == 0)
+    // a compaction in the range breaks per-epoch deltas -> must refuse
+    table.compact(spark)
+    intercept[IllegalStateException] {
+      table.readChanges(spark, head - 1, table.latest().get.version).collect()
+    }
   }
 
   test("audit lineage rows cover the full LSN range") {
