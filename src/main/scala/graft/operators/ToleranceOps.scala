@@ -158,6 +158,23 @@ object ToleranceOps {
             .as("displacement_km"))
     }),
 
+    // §2.1 affine raster index -> coord map and its inverse (the
+    // reference's GDAL geotransform pixel2coord, SRTMReader.py:82-88:
+    // xp = a*col + b*row + a/2 + b/2 + c at pixel centers). Pixel sizes
+    // are binary fractions so the round trip is exact; the inverse
+    // (coord -> index) must reproduce the source indices.
+    "q51_affine_grid" -> ((s, dir) => {
+      val (c, a, f, e) = (-180.0, 0.25, 60.0, -0.125) // origin + pixel sizes (b=d=0)
+      t(s, dir, "part")
+        .select(col("p_partkey").as("cell_id"),
+          (col("p_partkey") % 64).as("px"),
+          floor(col("p_partkey") / lit(64.0)).cast("long").as("py"))
+        .withColumn("lon", lit(a) * col("px").cast("double") + lit(a * 0.5) + lit(c))
+        .withColumn("lat", lit(e) * col("py").cast("double") + lit(e * 0.5) + lit(f))
+        .withColumn("px_rt", floor((col("lon") - lit(c)) / lit(a)).cast("long"))
+        .withColumn("py_rt", floor((col("lat") - lit(f)) / lit(e)).cast("long"))
+    }),
+
     // before-image lost-update detection (SQL-expressible analogue of
     // Apply.lostUpdateAudit): a synthetic source delivers each event's
     // pre-image, corrupted for every 97th event; count detections
@@ -265,6 +282,18 @@ object ToleranceOps {
              cos(radians(lat_a)) * cos(radians(lat_b)) *
              pow(sin(radians(lon_b - lon_a) / 2), 2))), 4) AS displacement_km
          FROM grid_a a JOIN grid_b b ON a.cell = b.cell""",
+    "q51_affine_grid" ->
+      """SELECT p_partkey AS cell_id,
+           p_partkey % 64 AS px,
+           CAST(floor(p_partkey / CAST(64.0 AS DOUBLE)) AS BIGINT) AS py,
+           0.25 * CAST(p_partkey % 64 AS DOUBLE) + 0.125 + (-180.0) AS lon,
+           (-0.125) * CAST(floor(p_partkey / CAST(64.0 AS DOUBLE)) AS DOUBLE)
+             + (-0.0625) + 60.0 AS lat,
+           CAST(floor((0.25 * CAST(p_partkey % 64 AS DOUBLE) + 0.125 + (-180.0)
+             - (-180.0)) / 0.25) AS BIGINT) AS px_rt,
+           CAST(floor(((-0.125) * CAST(floor(p_partkey / CAST(64.0 AS DOUBLE)) AS DOUBLE)
+             + (-0.0625) + 60.0 - 60.0) / (-0.125)) AS BIGINT) AS py_rt
+         FROM part""",
     "q50_before_image_audit" ->
       """SELECT user_id, count(*) AS n_with_before,
            CAST(sum(CASE WHEN delivered <> expected THEN 1 ELSE 0 END) AS BIGINT)

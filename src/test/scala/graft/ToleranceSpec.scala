@@ -101,6 +101,17 @@ class ToleranceSpec extends AnyFunSuite {
     assert(fb.forall(_.isNullAt(2)))
   }
 
+  test("q51 affine raster map round-trips exactly (coord -> index -> coord)") {
+    val rows = SparkEntry.queries("q51_affine_grid")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(5), s"px round trip: $r")
+      assert(r.getLong(2) == r.getLong(6), s"py round trip: $r")
+      // pixel-center semantics: coord sits strictly inside the pixel
+      assert(r.getDouble(3) == -180.0 + 0.25 * r.getLong(1) + 0.125)
+    }
+  }
+
   test("q45 banded level match equals a driver-side tolerance recomputation") {
     val got = SparkEntry.queries("q45_level_match")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1)) ->
