@@ -23,23 +23,13 @@ object SimilarityOps {
   val TopK = 5
 
   /** Random-hyperplane signature: `bits` pseudo-random planes, plane j
-    * component i = centered hash of (j, i) — deterministic, seed-stable,
-    * computed as expressions. Sign pattern -> one long bucket id. */
-  private def hyperplaneSig(v: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
-    val dims = size(v)
-    val dots = transform(sequence(lit(0), lit(bits - 1)), j =>
-      aggregate(
-        zip_with(
-          v,
-          transform(sequence(lit(0), dims - 1), i =>
-            (pmod(xxhash64(lit("plane"), j, i), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0),
-          (x, p) => x * p),
-        lit(0.0d), (acc, x) => acc + x))
-    aggregate(
-      zip_with(dots, sequence(lit(0), lit(bits - 1)),
-        (d, j) => when(d >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * component i = centered hash of (j, i) — deterministic, seed-stable.
+    * Sign pattern -> one long bucket id. Native codegen expression
+    * ([[graft.functions.HyperplaneSignature]]): the interpreted
+    * HOF formulation re-evaluated nested lambdas per element and was
+    * the dominant cost of q29/q30 candidate generation. */
+  private def hyperplaneSig(v: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    graft.functions.HyperplaneSignature(v, bits)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-k: broadcast the small query set against
