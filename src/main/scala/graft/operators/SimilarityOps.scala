@@ -65,6 +65,38 @@ object SimilarityOps {
         .select(col("query_id"), col("neighbor_id"), col("rk").cast("long").as("rk"))
     }),
 
+    // IVF ANN: coarse-quantizer inverted lists (deterministic seeds +
+    // one distributed Lloyd iteration), queries probe their IvfProbes
+    // nearest centroid lists, candidates = list members (equi-join on
+    // cid), exact-cosine rerank. The second scale path for similarity
+    // search next to the hyperplane-LSH q29 (the prompt's "IVF or
+    // LSH-bucketed variant"): at 100x, cost per query is
+    // O(probes/K · n) instead of O(n). Hash/iteration-dependent ->
+    // rows-only driver check; recall + pruning asserted in spec.
+    "q52_ann_ivf" -> ((s, dir) => {
+      val (lists, centroids) = ivfIndex(emb(s, dir))
+      val listsM = lists.localCheckpoint(true)
+      val queries = listsM.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      // probe the IvfProbes nearest centroids per query (queries x K is
+      // tiny: rank directly)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cid"))
+      val probes = queries.crossJoin(broadcast(centroids))
+        .withColumn("pcos", CosineSimilarity(col("qv"), col("cv")))
+        .withColumn("prb", row_number().over(w))
+        .filter(col("prb") <= IvfProbes)
+        .select(col("query_id"), col("qv"), col("cid"))
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      listsM.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", CosineSimilarity(col("v"), col("qv")))
+        .withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk").cast("long").as("rk"))
+    }),
+
     // embedding-cosine near-duplicate pairs above a high threshold,
     // through hyperplane-LSH buckets: candidate generation is an
     // equi-join on (band, 4-bit bucket) of a 16-bit signature — NEVER
@@ -94,6 +126,42 @@ object SimilarityOps {
   )
 
   val NeardupThreshold = 0.95
+  val IvfK = 16 // coarse centroids
+  val IvfProbes = 4 // centroid lists searched per query
+
+  /** IVF coarse quantizer: K deterministic seed vectors refined by one
+    * distributed Lloyd iteration (assign all vectors to their
+    * max-cosine seed, recompute centroids as element-wise means).
+    * Returns (inverted-list assignments (vec_id, cid, v), centroid
+    * table (cid, cv)). Centroid recompute is posexplode + (cid, dim)
+    * hash-agg — O(n·dims) map-side work, shuffles O(K·dims); no data
+    * ever reaches the driver. */
+  def ivfIndex(e: DataFrame): (DataFrame, DataFrame) = {
+    val seeds = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned0 = assignToCentroids(e, seeds)
+    val centroids = assigned0
+      .select(col("cid"), posexplode(col("v")))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+    (assignToCentroids(e, centroids), centroids)
+  }
+
+  /** Nearest-centroid assignment via the two-pass hash-agg argmax (the
+    * q48 pattern: plain double agg buffers, map-side combine; a
+    * min_by-over-struct would SortAggregate the n x K product). */
+  private def assignToCentroids(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val prod = e.crossJoin(broadcast(centroids))
+      .withColumn("_cos", CosineSimilarity(col("v"), col("cv")))
+    val best = prod.groupBy(col("vec_id")).agg(max(col("_cos")).as("_bc"))
+    val cids = e.join(best, "vec_id")
+      .crossJoin(broadcast(centroids))
+      .filter(CosineSimilarity(col("v"), col("cv")) === col("_bc"))
+      .groupBy(col("vec_id")).agg(min(col("cid")).as("cid"))
+    e.join(cids, "vec_id").select(col("vec_id"), col("cid"), col("v"))
+  }
 
   /** Near-dup test corpus: the embeddings table plus one deterministic
     * near-duplicate of every vector (vec_id + 10000, component-wise

@@ -57,6 +57,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"ANN recall@1 $recall")
   }
 
+  test("IVF ANN recall vs brute-force top-1 + real pruning") {
+    val brute = SparkEntry.queries("q28_knn_brute")(spark, sf)
+      .filter(col("rk") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("q52_ann_ivf")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@1 $recall")
+    // pruning is real: probed lists hold a strict minority of vectors
+    val (lists, _) = graft.operators.SimilarityOps.ivfIndex(
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label")))
+    val sizes = lists.groupBy("cid").count().collect().map(_.getLong(1))
+    val total = sizes.sum.toDouble
+    val probedShare = sizes.sorted.reverse.take(
+      graft.operators.SimilarityOps.IvfProbes).sum / total
+    assert(probedShare < 0.8, s"probing ${probedShare} of the corpus is not pruning")
+  }
+
   test("simhash near-dups are plausible (hamming bound respected)") {
     val rows = SparkEntry.queries("q27_dedup_simhash")(spark, sf).collect()
     assert(rows.forall(_.getAs[Number]("hamming").longValue <= 6))
