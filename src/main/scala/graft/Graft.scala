@@ -165,6 +165,26 @@ object Graft {
         }(Encoders.row(outSchema))
     }
 
+    /** Banded tolerance (range) join: rows of `right` whose `rightX` is
+      * within ±`delta` of this frame's `leftX`, under equal `keyCols`.
+      * Both sides bucket x into width-`delta` bins and the LEFT side
+      * expands to bins ±1, so the join is EQUI on (keys..., bin) with
+      * residual |rx - lx| <= delta — candidates are bounded to a
+      * 3-bin neighborhood instead of the key's whole range (lossless:
+      * any row within ±delta of lx lies in bins floor(lx/delta) ± 1).
+      * The one shared implementation behind q18/q45/q47. Column names
+      * other than keyCols must be disjoint across the two sides. */
+    def bandedToleranceJoin(right: DataFrame, keyCols: Seq[String],
+        leftX: String, rightX: String, delta: Double): DataFrame = {
+      def bin(c: Column) = floor(c / lit(delta)).cast("long")
+      val l = df.withColumn("_tbin",
+        explode(array(bin(col(leftX)) - 1, bin(col(leftX)), bin(col(leftX)) + 1)))
+      val r = right.withColumn("_tbin", bin(col(rightX)))
+      l.join(r, keyCols :+ "_tbin")
+        .filter(abs(col(rightX) - col(leftX)) <= lit(delta))
+        .drop("_tbin")
+    }
+
     /** Exact n-gram Jaccard near-duplicate pairs with a document-
       * frequency fence: shingles appearing in more than `maxShingleDf`
       * documents are excluded from CANDIDATE GENERATION (the self-join),

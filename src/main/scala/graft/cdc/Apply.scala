@@ -145,7 +145,14 @@ object Apply {
     * predecessors, which the epoch apply collapses, and a key born
     * inside the batch has no state to compare against. Cost is O(batch
     * keys) — one agg + one key-equi join against state; a diagnostic
-    * pass, not on the hot path. */
+    * pass, not on the hot path.
+    *
+    * REQUIRES an in-order feed per key: with bounded disorder, a key's
+    * first-in-batch event can carry the pre-image of an lsn-predecessor
+    * that was displaced into a LATER epoch and is not applied yet, and
+    * would be flagged spuriously. Run it on ordered feeds (or after a
+    * disorder-absorbing dedup/sort stage), or treat flags as candidates
+    * to re-check once the watermark passes. */
   def lostUpdateAudit(spark: SparkSession, table: LakeTable, rawEvents: DataFrame): DataFrame = {
     val first = rawEvents
       .groupBy(col("repo"), col("path"))
@@ -153,11 +160,13 @@ object Apply {
       .select(col("repo"), col("path"), col("_s.lsn").as("lsn"), col("_s.before").as("before"))
       .filter(col("before").isNotNull)
       .withColumn("_b", SchemaRegistry.parsePayload(col("before")))
+      // NUL sentinel so null content and "" content stay distinct
+      // (the Oracle.digest convention)
       .select(col("repo"), col("path"), col("lsn"),
-        sha2(coalesce(col("_b.content"), lit("")), 256).as("expected_sha"))
+        sha2(coalesce(col("_b.content"), lit("\u0000")), 256).as("expected_sha"))
     val state = table.read(spark)
       .select(col("repo"), col("path"),
-        sha2(coalesce(col("content"), lit("")), 256).as("actual_sha"))
+        sha2(coalesce(col("content"), lit("\u0000")), 256).as("actual_sha"))
     // left join: a pre-image for a key the table does not even have is
     // also a lost update (the captured row was deleted out-of-band)
     first.join(state, Seq("repo", "path"), "left")

@@ -43,7 +43,9 @@ final case class GenConfig(
     // per-key window over the GENERATED range, so it is complete only
     // when the log is generated in one window, and meaningful only with
     // dupEvery = 0 (a redelivered twin would otherwise become its own
-    // pre-image). Test/audit use; the bench source leaves before null.
+    // pre-image) and disorderWindow = 0 (Apply.lostUpdateAudit requires
+    // an in-order feed — see its scaladoc). Test/audit use; the bench
+    // source leaves before null.
     withBeforeImages: Boolean = false
 )
 

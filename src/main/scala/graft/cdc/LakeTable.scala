@@ -238,7 +238,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     * same contract as Iceberg's incremental read); callers then fall
     * back to a full `read`. */
   def readChanges(spark: SparkSession, sinceVersion: Long, toVersion: Long): DataFrame = {
-    val from = snapshotAt(sinceVersion).map(_.groups.map(_.dir).toSet).getOrElse(Set.empty)
+    // sinceVersion = 0 means "from table creation"; any other missing
+    // version (expired or never existed) must fail loudly — treating it
+    // as 'beginning' would silently re-deliver the whole history
+    val from =
+      if (sinceVersion == 0L) Set.empty[String]
+      else snapshotAt(sinceVersion).map(_.groups.map(_.dir).toSet).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot at sinceVersion $sinceVersion (expired?); use 0 for from-start"))
     val to = snapshotAt(toVersion).getOrElse(
       throw new IllegalArgumentException(s"no snapshot at version $toVersion"))
     if (!from.subsetOf(to.groups.map(_.dir).toSet))

@@ -31,17 +31,21 @@ object ParquetStats {
     val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
     var sawAll = true
     val maxes = files.iterator.flatMap { f =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
-      try {
-        reader.getFooter.getBlocks.asScala.flatMap { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == column) match {
-            case Some(c) if c.getStatistics != null && c.getStatistics.hasNonNullValue =>
-              Some(c.getStatistics.genericGetMax.asInstanceOf[Number].intValue)
-            case _ =>
-              sawAll = false; None
-          }
-        }.toList
-      } finally reader.close()
+      // an unreadable/truncated file must not turn this optimization
+      // into a hard failure — fall back to the scan probe instead
+      scala.util.Try {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+        try {
+          reader.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+              case Some(c) if c.getStatistics != null && c.getStatistics.hasNonNullValue =>
+                Some(c.getStatistics.genericGetMax.asInstanceOf[Number].intValue)
+              case _ =>
+                sawAll = false; None
+            }
+          }.toList
+        } finally reader.close()
+      }.getOrElse { sawAll = false; Nil }
     }.toList
     if (maxes.nonEmpty && sawAll) Some(maxes.max) else None
   }

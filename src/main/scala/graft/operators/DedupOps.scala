@@ -123,8 +123,8 @@ object DedupOps {
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_doc_id
          FROM documents GROUP BY 1""",
     "q25_ngram_jaccard" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      s"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
            FROM documents),
          sh AS (
            SELECT DISTINCT doc_id,
@@ -136,7 +136,7 @@ object DedupOps {
            SELECT doc_id, shingle FROM (
              SELECT doc_id, shingle,
                count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-           WHERE df <= 100),
+           WHERE df <= $MaxShingleDf),
          inter AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -221,19 +221,13 @@ object Relational {
     // as the raw range join (only rows with |e.ts-p.ts| <= 12h survive
     // the residual filter) at a fraction of the per-key product.
     "q18_range_join_time" -> ((s, dir) => {
-      val binUs = 12L * 3600L * 1000000L
+      val deltaUs = 12L * 3600L * 1000000L
       val e = t(s, dir, "events")
-        .withColumn("_eus", unix_micros(col("ts").cast("timestamp")))
-        .withColumn("_bin", floor(col("_eus") / lit(binUs.toDouble)).cast("long"))
-      val p = probeGrid(s, dir)
+        .select(col("user_id"), col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("_eus"))
+      probeGrid(s, dir)
         .withColumn("_pus", unix_micros(col("probe_ts").cast("timestamp")))
-        .select(col("user_id"), col("probe_ts"), col("_pus"),
-          explode(array(
-            floor(col("_pus") / lit(binUs.toDouble)).cast("long") - 1,
-            floor(col("_pus") / lit(binUs.toDouble)).cast("long"),
-            floor(col("_pus") / lit(binUs.toDouble)).cast("long") + 1)).as("_bin"))
-      p.join(e, Seq("user_id", "_bin"))
-        .filter(abs(col("_eus") - col("_pus")) <= lit(binUs))
+        .bandedToleranceJoin(e, Seq("user_id"), "_pus", "_eus", deltaUs.toDouble)
         .groupBy(col("user_id"), col("probe_ts"))
         .agg(count(lit(1)).as("n_near"), round(avg(col("value")), 6).as("avg_value"))
     }),

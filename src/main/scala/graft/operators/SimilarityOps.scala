@@ -102,11 +102,16 @@ object SimilarityOps {
     // equi-join on (band, 4-bit bucket) of a 16-bit signature — NEVER
     // an all-pairs or label-blocked product (a hot block is quadratic
     // at 100x data; the round-1 verdict flagged exactly that). The
-    // candidates are reranked by exact cosine; for cos >= 0.95 pairs a
-    // missed 4-bit band has probability (theta/pi)^4 per band and all
-    // 4 bands miss with probability ~1e-11, so the result equals the
-    // exact all-pairs answer (asserted in SimilaritySpec; the DuckDB
-    // oracle below IS the exact all-pairs SQL).
+    // candidates are reranked by exact cosine. LSH recall math for this
+    // corpus's true pairs (cos ~0.9984, theta/pi ~0.018): P(one 4-bit
+    // band differs) = 1-(1-0.018)^4 ~ 0.069; P(all 4 bands differ)
+    // ~ 2.3e-5 per pair, ~0.01 expected misses over the 500 injected
+    // pairs. Everything is seed-deterministic, so the result is fixed,
+    // and ToleranceSpec asserts it EQUALS the exact all-pairs answer on
+    // the gate corpora (the DuckDB oracle below IS the exact all-pairs
+    // SQL). Pairs barely above the 0.95 threshold would be missed with
+    // probability ~1.4e-2 — the standard LSH recall/cost tradeoff;
+    // tune bits-per-band/bands to corpus size and threshold at scale.
     "q30_embed_neardup" -> ((s, dir) => {
       val e = neardupInput(s, dir)
         .withColumn("sig", hyperplaneSig(col("v"), 16)).localCheckpoint(true)

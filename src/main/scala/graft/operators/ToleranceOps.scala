@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Graft._
 import graft.functions.ColumnFns._
 
 /** Tolerance-match / grid-pair operators (SURVEY.md §2.4 rows the
@@ -56,13 +57,8 @@ object ToleranceOps {
       val probes = levels.select(col("cell")).distinct()
         .select(col("cell"),
           explode(array(Seq(5.25, 17.6, 33.8, 49.9, 60.0).map(lit): _*)).as("probe_depth"))
-      val pb = probes
-        .withColumn("_pbin", floor(col("probe_depth") / lit(DepthDelta)).cast("long"))
-        .select(col("cell"), col("probe_depth"),
-          explode(array(col("_pbin") - 1, col("_pbin"), col("_pbin") + 1)).as("zbin"))
-      val lv = levels.withColumn("zbin", floor(col("z") / lit(DepthDelta)).cast("long"))
-      val agg = pb.join(lv, Seq("cell", "zbin"))
-        .filter(abs(col("z") - col("probe_depth")) <= lit(DepthDelta))
+      val agg = probes
+        .bandedToleranceJoin(levels, Seq("cell"), "probe_depth", "z", DepthDelta)
         .groupBy(col("cell"), col("probe_depth"))
         .agg(
           count(lit(1)).as("n_candidates"),
@@ -79,19 +75,14 @@ object ToleranceOps {
     "q47_interp_nearest" -> ((s, dir) => {
       val probes = Relational.probeGrid(s, dir)
         .withColumn("_pus", unix_micros(col("probe_ts").cast("timestamp")))
-      val pb = probes
-        .withColumn("_bin", floor(col("_pus") / lit(TimeDeltaUs.toDouble)).cast("long"))
-        .select(col("user_id"), col("probe_ts"), col("_pus"),
-          explode(array(col("_bin") - 1, col("_bin"), col("_bin") + 1)).as("tbin"))
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("value"), col("event_id"))
         .withColumn("_eus", unix_micros(col("ts").cast("timestamp")))
-        .withColumn("tbin", floor(col("_eus") / lit(TimeDeltaUs.toDouble)).cast("long"))
       val w = Window.partitionBy(col("user_id"), col("probe_ts"))
         .orderBy(col("_ad"), col("ts"), col("event_id"))
-      val best = pb.join(ev, Seq("user_id", "tbin"))
+      val best = probes
+        .bandedToleranceJoin(ev, Seq("user_id"), "_pus", "_eus", TimeDeltaUs.toDouble)
         .withColumn("_ad", abs(col("_eus") - col("_pus")))
-        .filter(col("_ad") <= lit(TimeDeltaUs))
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(col("user_id"), col("probe_ts"), col("value"))
@@ -121,22 +112,21 @@ object ToleranceOps {
       // SORT of the query x axis product (struct agg buffers are not
       // hash-aggregatable) and were 3-6x slower at sf0.1. Shuffles stay
       // O(query points); the product is never shuffled.
-      def axisArgmin(q: DataFrame, keep: Seq[String], qCol: String,
+      def axisArgmin(q: DataFrame, idCol: String, keep: Seq[String], qCol: String,
           axis: DataFrame, aCol: String): DataFrame = {
         val d = abs(col(qCol) - col(aCol))
         val best = q.crossJoin(broadcast(axis))
-          .groupBy(col("c_custkey")).agg(min(d).as("_bd"))
-        q.join(best, "c_custkey")
+          .groupBy(col(idCol)).agg(min(d).as("_bd"))
+        q.join(best, idCol)
           .crossJoin(broadcast(axis))
           .filter(d === col("_bd"))
           .groupBy((keep :+ qCol).distinct.map(col): _*)
           .agg(min(col(aCol)).as(aCol))
-          .drop("_bd")
       }
-      val withLat = axisArgmin(cust, Seq("c_custkey", "c_lat", "c_lon"), "c_lat",
-        latAxis, "g_lat").localCheckpoint(true)
-      axisArgmin(withLat, Seq("c_custkey", "c_lat", "c_lon", "g_lat"), "c_lon",
-        lonAxis, "g_lon")
+      val withLat = axisArgmin(cust, "c_custkey", Seq("c_custkey", "c_lat", "c_lon"),
+        "c_lat", latAxis, "g_lat").localCheckpoint(true)
+      axisArgmin(withLat, "c_custkey", Seq("c_custkey", "c_lat", "c_lon", "g_lat"),
+        "c_lon", lonAxis, "g_lon")
         .select(col("c_custkey"), col("g_lat"), col("g_lon"),
           round(haversineKm(col("c_lat"), col("c_lon"), col("g_lat"), col("g_lon")), 4)
             .as("dist_km"))

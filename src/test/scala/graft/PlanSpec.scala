@@ -77,7 +77,8 @@ class PlanSpec extends AnyFunSuite {
     // so per-shingle fan-out is bounded by the cap — visible in the plan
     // as a Filter on the windowed count BEFORE the SortMergeJoin/HashJoin
     val p25 = planOf(SparkEntry.queries("q25_ngram_jaccard")(spark, sf))
-    assert("_df#\\d+L? <= 100".r.findFirstIn(p25).isDefined,
+    val cap = graft.operators.DedupOps.MaxShingleDf
+    assert(s"_df#\\d+L? <= $cap".r.findFirstIn(p25).isDefined,
       s"df-cap filter missing from q25 plan:\n${p25.take(2000)}")
     // q30: candidate generation must be an equi-join that includes the
     // LSH bucket — never a cartesian / label-only product
