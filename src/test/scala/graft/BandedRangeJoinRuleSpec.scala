@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.BandedRangeJoinRule
+
+/** The tolerance-range-join optimizer rule: a user-written
+  * `abs(l - r) <= d` join must re-plan as a banded equi-join (no
+  * cartesian / nested-loop product, no whole-history per-key
+  * candidates) with unchanged results.
+  */
+class BandedRangeJoinRuleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def withRule[T](body: => T): T = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BandedRangeJoinRule
+    try body
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq BandedRangeJoinRule)
+  }
+
+  private def probes = {
+    import spark.implicits._
+    (1 to 50).flatMap(u => (0 to 20).map(i => (u.toLong, i * 100.0)))
+      .toDF("user_id", "px")
+  }
+  private def events = {
+    import spark.implicits._
+    (1 to 50).flatMap(u => (0 to 500).map(i => (u.toLong, i * 4.1, i.toDouble)))
+      .toDF("user_id", "ex", "value")
+  }
+
+  test("equi + tolerance join: rewritten plan is banded, results unchanged") {
+    // def, not val: a Dataset caches its queryExecution at first use,
+    // so the rule must see a freshly-built plan
+    def q = probes.as("p").join(events.as("e"),
+      col("p.user_id") === col("e.user_id") &&
+        abs(col("p.px") - col("e.ex")) <= lit(25.0))
+      .groupBy(col("p.user_id"), col("px"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+    val baseline = q.collect().map(r =>
+      (r.getLong(0), r.getDouble(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    withRule {
+      val fresh = q
+      val plan = fresh.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_bin"), s"rule did not fire:\n${plan.take(1500)}")
+      assert(plan.toLowerCase.contains("generate explode"),
+        s"banding explode missing:\n${plan.take(1500)}")
+      val got = fresh.collect().map(r =>
+        (r.getLong(0), r.getDouble(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(got == baseline)
+    }
+  }
+
+  test("tolerance-only join: cartesian product becomes a bin equi-join") {
+    def q = probes.filter(col("user_id") === 1).select(col("px"))
+      .join(events.filter(col("user_id") === 2).select(col("ex"), col("value")),
+        abs(col("px") - col("ex")) <= lit(10.0))
+    val baseline = q.collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted.toSeq
+    withRule {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_bin"), s"rule did not fire:\n${plan.take(1500)}")
+      assert(!plan.contains("CartesianProduct"),
+        s"still a cartesian product:\n${plan.take(1500)}")
+      val got = q.collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted.toSeq
+      assert(got == baseline)
+    }
+  }
+
+  test("d >= abs(...) flipped form and non-positive tolerances") {
+    val q = probes.as("p").join(events.as("e"),
+      col("p.user_id") === col("e.user_id") &&
+        lit(25.0) >= abs(col("p.px") - col("e.ex")))
+    withRule {
+      assert(q.queryExecution.executedPlan.toString.contains("_graft_bin"))
+    }
+    // a zero tolerance must NOT fire (division by the bin width)
+    val z = probes.as("p").join(events.as("e"),
+      col("p.user_id") === col("e.user_id") &&
+        abs(col("p.px") - col("e.ex")) <= lit(0.0))
+    withRule {
+      assert(!z.queryExecution.executedPlan.toString.contains("_graft_bin"))
+      assert(z.count() >= 0) // still executable
+    }
+  }
+}
