@@ -88,6 +88,18 @@ class PlanSpec extends AnyFunSuite {
       s"q30 has an unbounded join:\n${p30.take(2000)}")
     assert("hashpartitioning\\((band|bucket)".r.findFirstIn(p30).isDefined ||
       p30.contains("bucket"), s"q30 join not keyed by LSH bucket:\n${p30.take(2000)}")
+    // the signature kernel is the native codegen expression, not the
+    // interpreted HOF formulation (q29/q30 materialize it behind a
+    // localCheckpoint, so assert on the signature stage itself)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sigPlan = planOf(spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(graft.functions.HyperplaneSignature(
+          col("embedding").cast("array<double>"), 16).as("sig")))
+      assert(sigPlan.toLowerCase.contains("hyperplanesignature"),
+        s"native signature expression missing:\n${sigPlan.take(1500)}")
+      assert(sigPlan.contains("*("), "signature stage not in whole-stage codegen")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("q39 approx distinct within 5% of exact") {
