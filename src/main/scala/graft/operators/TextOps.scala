@@ -69,6 +69,41 @@ object TextOps {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // the end-to-end training-data curation pipeline — the engine's
+    // actual 100-TB use case, as ONE lazy plan: exact dedup (keep
+    // first per content hash) -> quality filter -> near-duplicate
+    // removal (df-capped exact Jaccard pairs; drop the later doc of
+    // each pair) -> per-language corpus stats. Every stage is
+    // deterministic and SQL-expressible, so the whole chain hash-checks
+    // against DuckDB.
+    "q53_corpus_pipeline" -> ((s, dir) => {
+      import graft.Graft._
+      val toks = tokenCount(col("text"))
+      val punct = regexp_count(col("text"), lit("[\\p{Punct}]"))
+      val uniq = docs(s, dir).join(
+        docs(s, dir).groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val scored = uniq
+        .withColumn("n_tokens", toks.cast("long"))
+        .withColumn("quality", round(
+          when(toks > 0,
+            least(lit(1.0), toks.cast("double") / 100.0) *
+              (lit(1.0) - least(lit(1.0), punct.cast("double") / greatest(toks.cast("double"), lit(1.0)))))
+            .otherwise(0.0), 6))
+        .filter(col("quality") >= 0.5)
+      val nearDupLosers = scored
+        .ngramJaccardPairs("doc_id", "text", n = 3, minJaccard = 0.5,
+          maxShingleDf = DedupOps.MaxShingleDf)
+        .select(col("doc_id_b").as("doc_id")).distinct()
+      scored.join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+    }),
+
     // canonical-form fingerprint dedup groups (rolling-hash analogue;
     // md5 chosen for cross-engine reproducibility)
     "q23_fingerprint" -> ((s, dir) => {
@@ -114,6 +149,54 @@ object TextOps {
     "q23_fingerprint" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          count(*) AS cnt, min(doc_id) AS min_doc_id
-         FROM documents GROUP BY 1"""
+         FROM documents GROUP BY 1""",
+    "q53_corpus_pipeline" ->
+      s"""WITH uniq AS (
+            SELECT d.* FROM documents d
+            JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                  FROM documents GROUP BY 1) k ON d.doc_id = k.doc_id),
+          scored AS (
+            SELECT doc_id, lang, text, n_tokens,
+              round(CASE WHEN n_tokens > 0 THEN
+                least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) *
+                (1.0 - least(1.0, CAST(n_punct AS DOUBLE)
+                  / greatest(CAST(n_tokens AS DOUBLE), 1.0)))
+                ELSE 0.0 END, 6) AS quality
+            FROM (SELECT *,
+                length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                length(regexp_extract_all(text, '[[:punct:]]')) AS n_punct
+              FROM uniq)),
+          q AS (SELECT * FROM scored WHERE quality >= 0.5),
+          toksq AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM q),
+          sh AS (
+            SELECT DISTINCT doc_id,
+              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM toksq, LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+            WHERE len(ws) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          shc AS (
+            SELECT doc_id, shingle FROM (
+              SELECT doc_id, shingle,
+                count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+            WHERE df <= ${DedupOps.MaxShingleDf}),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          losers AS (
+            SELECT DISTINCT doc_b AS doc_id FROM (
+              SELECT doc_b,
+                round(CAST(inter AS DOUBLE)
+                  / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS j
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b)
+            WHERE j >= 0.5)
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            round(avg(quality), 6) AS avg_quality
+          FROM q WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+          GROUP BY lang"""
   )
 }
