@@ -107,16 +107,24 @@ object Apply {
       rawEvents.agg(coalesce(max(col("schemaVersion")), lit(1))).collect()(0).getInt(0))
     val tProbe = t()
 
+    // high-water mark BEFORE this batch: events at or below it arrived
+    // after something newer was already applied — the late-arrival
+    // count the reference logs as out-of-range/fallback diagnostics
+    // (TimeMultiPoint.py:312-315); LWW neutralizes them, the metric
+    // makes them visible
+    val prevMaxLsn = table.latest().map(_.maxLsn).getOrElse(-1L)
     val obs = org.apache.spark.sql.Observation(s"graft-epoch-$epochId-${System.nanoTime()}")
     val envelope = rawEvents
       .select("repo", "path", "op", "lsn", "ts", "schemaVersion", "after")
       .observe(obs,
         min(col("lsn")).as("min_lsn"),
         max(col("lsn")).as("max_lsn"),
-        count(lit(1)).as("rows_in_batch"))
+        count(lit(1)).as("rows_in_batch"),
+        sum(when(col("lsn") <= prevMaxLsn, 1L).otherwise(0L)).as("late_events"))
     val reduced = if (salted) saltedReduce(envelope) else reduce(envelope)
     val normalized = normalize(reduced, batchVersion)
-    val commit = table.upsert(normalized, epochId, batchVersion)
+    val commit = table.upsert(normalized, epochId, batchVersion,
+      batchMaxLsn = obs.get.get("max_lsn").collect { case l: Long => l }.getOrElse(-1L))
     val tUpsert = t()
 
     val inputRows =

@@ -85,6 +85,7 @@ final class Audit(val dir: String) {
         .withColumn("source_min_lsn", lit(stat("min_lsn")))
         .withColumn("source_max_lsn", lit(stat("max_lsn")))
         .withColumn("source_rows", lit(stat("rows_in_batch")))
+        .withColumn("late_events", lit(stat("late_events")))
         .withColumn("snapshot_version", lit(snapshotVersion))
         .withColumn("schema_version", lit(stats.batchSchemaVersion))
         .withColumn("wall_ms", lit(stats.wallMs))

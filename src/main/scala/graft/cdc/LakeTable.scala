@@ -26,7 +26,10 @@ final case class Snapshot(
     epochId: Long,
     schemaVersion: Int,
     groups: Seq[FileGroup],
-    totalDeltaGroups: Int)
+    totalDeltaGroups: Int,
+    // high-water mark of applied event LSNs — lets the next epoch count
+    // late arrivals (events at or below it) without scanning the table
+    maxLsn: Long = -1L)
 
 /** Result of an upsert: whether the epoch committed (false = idempotent
   * replay skip) and the file group it appended (None for an empty
@@ -116,7 +119,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       node.get("epochId").asLong(),
       node.get("schemaVersion").asInt(),
       groups,
-      groups.count(_.kind == "delta"))
+      groups.count(_.kind == "delta"),
+      if (node.has("maxLsn")) node.get("maxLsn").asLong() else -1L)
   }
 
   /** Atomically commit a snapshot manifest (write tmp + ATOMIC_MOVE —
@@ -127,6 +131,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     obj.put("version", s.version)
     obj.put("epochId", s.epochId)
     obj.put("schemaVersion", s.schemaVersion)
+    obj.put("maxLsn", s.maxLsn)
     val arr: ArrayNode = obj.putArray("groups")
     s.groups.foreach { g =>
       val gn = arr.addObject()
@@ -155,7 +160,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     * Returns committed=false iff the epoch was already committed
     * (idempotent replay after restart — the written files of the
     * aborted attempt stay unreferenced). */
-  def upsert(batch: DataFrame, epochId: Long, batchSchemaVersion: Int): CommitResult = {
+  /** `batchMaxLsn` is by-name: it is only evaluated AFTER the data
+    * write (callers read it from the write job's observe() metrics). */
+  def upsert(batch: DataFrame, epochId: Long, batchSchemaVersion: Int,
+      batchMaxLsn: => Long = -1L): CommitResult = {
     init()
     val prev = latest()
     if (prev.exists(_.epochId >= epochId)) return CommitResult(committed = false, None)
@@ -178,7 +186,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     val groups = prev.map(_.groups).getOrElse(Nil) ++ written.toSeq
     commitManifest(Snapshot(
       prev.map(_.version).getOrElse(0L) + 1L, epochId, newSchemaVersion, groups,
-      groups.count(_.kind == "delta")))
+      groups.count(_.kind == "delta"),
+      math.max(prev.map(_.maxLsn).getOrElse(-1L), batchMaxLsn)))
     CommitResult(committed = true, written)
   }
 
@@ -291,7 +300,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       val wroteFiles = hasParquet(Paths.get(root, groupDir))
       commitManifest(Snapshot(
         s.version + 1L, s.epochId, s.schemaVersion,
-        if (wroteFiles) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil, 0))
+        if (wroteFiles) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil, 0,
+        s.maxLsn))
     }
   }
 

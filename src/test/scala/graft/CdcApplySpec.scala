@@ -197,4 +197,25 @@ class CdcApplySpec extends AnyFunSuite {
     // per-bucket applied rows are the LWW survivors: bounded by input
     assert(r.getLong(2) > 0 && r.getLong(2) <= ChangeLogGen.physicalRows(cfg))
   }
+
+  test("late arrivals are counted per epoch (and absent when in order)") {
+    // disordered source chunked into epochs -> some events land in a
+    // later epoch than their LSN: late_events > 0 somewhere
+    val dir = TestSpark.tmpDir("cdc-late")
+    val audit = new Audit(s"$dir/audit")
+    Pipeline.runBatchEpochs(spark, cfg, s"$dir/t", epochs = 6, audit = Some(audit))
+    val late = audit.read(spark)
+      .select("epoch_id", "late_events").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(late(0L) == 0L, "first epoch has no prior high-water mark")
+    assert(late.values.sum > 0, s"disordered log must produce late arrivals: $late")
+
+    // in-order source -> zero late everywhere
+    val dir2 = TestSpark.tmpDir("cdc-late0")
+    val audit2 = new Audit(s"$dir2/audit")
+    Pipeline.runBatchEpochs(spark,
+      cfg.copy(disorderWindow = 0L, dupEvery = 0L), s"$dir2/t", epochs = 4,
+      audit = Some(audit2))
+    assert(audit2.read(spark).filter(col("late_events") =!= 0L).count() == 0)
+  }
 }
