@@ -176,6 +176,8 @@ object Graft {
       * other than keyCols must be disjoint across the two sides. */
     def bandedToleranceJoin(right: DataFrame, keyCols: Seq[String],
         leftX: String, rightX: String, delta: Double): DataFrame = {
+      require(!df.columns.contains("_tbin") && !right.columns.contains("_tbin"),
+        "bandedToleranceJoin reserves the column name _tbin")
       def bin(c: Column) = floor(c / lit(delta)).cast("long")
       val l = df.withColumn("_tbin",
         explode(array(bin(col(leftX)) - 1, bin(col(leftX)), bin(col(leftX)) + 1)))

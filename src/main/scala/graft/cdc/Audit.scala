@@ -94,5 +94,9 @@ final class Audit(val dir: String) {
     }
   }
 
-  def read(spark: SparkSession): DataFrame = spark.read.parquet(dir)
+  // mergeSchema: an audit dir may span engine versions that added
+  // metric columns (e.g. late_events); a single-footer schema would
+  // read such a dir nondeterministically
+  def read(spark: SparkSession): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
 }

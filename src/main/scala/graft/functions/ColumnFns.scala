@@ -31,6 +31,21 @@ object ColumnFns {
   /** Whitespace-delimited token count (BPE-ish \S+ runs). */
   def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 
+  /** Document quality score in [0, 1]: length term (saturating at 100
+    * tokens) x (1 - punctuation ratio), rounded to 6 decimals. The ONE
+    * definition shared by q21 (per-doc scoring) and the q53 curation
+    * pipeline's filter — their DuckDB oracles assume they agree. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text)
+    val punct = regexp_count(text, lit("[\\p{Punct}]"))
+    round(
+      when(toks > 0,
+        least(lit(1.0), toks.cast("double") / 100.0) *
+          (lit(1.0) - least(lit(1.0),
+            punct.cast("double") / greatest(toks.cast("double"), lit(1.0)))))
+        .otherwise(0.0), 6)
+  }
+
   /** Canonical-form document fingerprint: sha/md5 of
     * whitespace-collapsed, lower-cased text. */
   def fingerprint(text: Column): Column =

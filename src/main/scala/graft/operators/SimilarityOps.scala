@@ -151,6 +151,10 @@ object SimilarityOps {
       .groupBy(col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("cv"))
+      // K rows, but its lineage is the whole Lloyd pipeline — cut it,
+      // or every consumer (assignment AND query probing) re-runs the
+      // full corpus pass
+      .localCheckpoint(true)
     (assignToCentroids(e, centroids), centroids)
   }
 

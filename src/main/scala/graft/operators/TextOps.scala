@@ -45,11 +45,7 @@ object TextOps {
           toks.cast("long").as("n_tokens"),
           punct.cast("long").as("n_punct"),
           stop.cast("long").as("n_stop"),
-          round(
-            when(toks > 0,
-              least(lit(1.0), toks.cast("double") / 100.0) *
-                (lit(1.0) - least(lit(1.0), punct.cast("double") / greatest(toks.cast("double"), lit(1.0)))))
-              .otherwise(0.0), 6).as("quality"))
+          qualityScore(col("text")).as("quality"))
     }),
 
     // n-gram-heuristic language ID + confusion matrix vs the labeled lang
@@ -78,19 +74,13 @@ object TextOps {
     // against DuckDB.
     "q53_corpus_pipeline" -> ((s, dir) => {
       import graft.Graft._
-      val toks = tokenCount(col("text"))
-      val punct = regexp_count(col("text"), lit("[\\p{Punct}]"))
       val uniq = docs(s, dir).join(
         docs(s, dir).groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id"),
         Seq("doc_id"), "left_semi")
       val scored = uniq
-        .withColumn("n_tokens", toks.cast("long"))
-        .withColumn("quality", round(
-          when(toks > 0,
-            least(lit(1.0), toks.cast("double") / 100.0) *
-              (lit(1.0) - least(lit(1.0), punct.cast("double") / greatest(toks.cast("double"), lit(1.0)))))
-            .otherwise(0.0), 6))
+        .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+        .withColumn("quality", qualityScore(col("text")))
         .filter(col("quality") >= 0.5)
       val nearDupLosers = scored
         .ngramJaccardPairs("doc_id", "text", n = 3, minJaccard = 0.5,

@@ -60,8 +60,17 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def bin(x: Expression, d: Double): Expression =
     Floor(Divide(Cast(x, DoubleType), Literal(d)))
 
+  /** A join this rule already rewrote: its condition references the
+    * generated bin attributes. The guard matters because
+    * `injectOptimizerRule` places user rules in FIXED-POINT batches
+    * that also run predicate pushdown — without it, the rule and
+    * PushDownPredicates ping-pong (each iteration re-banding the same
+    * join) until max-iterations, stacking Generates. */
+  private def alreadyBanded(cond: Expression): Boolean =
+    cond.references.exists(a => a.name == "_graft_bin" || a.name == "_graft_bin_r")
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+    case j @ Join(left, right, Inner, Some(cond), hint) if !alreadyBanded(cond) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val tol = conjuncts.iterator
         .map(c => (c, toleranceConjunct(c, left, right)))
@@ -78,10 +87,11 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             generatorOutput = Seq(binAttr), child = left)
           val rBinAlias = Alias(bin(r, d), "_graft_bin_r")()
           val proj = Project(right.output :+ rBinAlias, right)
-          val newCond = (conjuncts.filterNot(_ eq rangePred) :+
-            EqualTo(binAttr, rBinAlias.toAttribute)).reduce(And)
-          Project(j.output,
-            Filter(rangePred, Join(gen, proj, Inner, Some(newCond), hint)))
+          // the residual range predicate stays INSIDE the join condition:
+          // hoisting it as a Filter would hand it straight back to
+          // predicate pushdown (see alreadyBanded)
+          val newCond = (conjuncts :+ EqualTo(binAttr, rBinAlias.toAttribute)).reduce(And)
+          Project(j.output, Join(gen, proj, Inner, Some(newCond), hint))
         case _ => j
       }
   }

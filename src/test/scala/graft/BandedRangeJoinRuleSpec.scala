@@ -68,6 +68,44 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("spark.sql.extensions install path: fixed-point-safe (no pushdown ping-pong)") {
+    // injectOptimizerRule lands in FIXED-POINT batches that also run
+    // predicate pushdown; the rule must fire exactly once there (an
+    // earlier version hoisted the residual as a Filter, which pushdown
+    // re-inlined every iteration — Generates stacked until
+    // max-iterations). Build a real session with the extension
+    // installed; it shares the SparkContext but gets its own extensions.
+    import org.apache.spark.sql.SparkSession
+    val original = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      import s2.implicits._
+      val l = (1 to 30).map(i => (i.toLong % 3, i * 2.0)).toDF("k", "lx")
+      val r = (1 to 90).map(i => (i.toLong % 3, i * 0.7, i.toLong)).toDF("k", "rx", "pay")
+      val q = l.join(r, l("k") === r("k") && abs(l("lx") - r("rx")) <= lit(1.5))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_bin"), s"rule did not fire:\n${plan.take(1500)}")
+      assert("Generate".r.findAllIn(plan).size == 1,
+        s"rule must fire exactly once, Generates:\n${plan.take(2000)}")
+      // result equality vs a driver-side recomputation
+      val got = q.select(l("k"), col("lx"), col("rx"), col("pay")).collect()
+        .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2), x.getLong(3))).sorted.toSeq
+      val want = (for {
+        (lk, lx) <- (1 to 30).map(i => (i.toLong % 3, i * 2.0))
+        (rk, rx, pay) <- (1 to 90).map(i => (i.toLong % 3, i * 0.7, i.toLong))
+        if lk == rk && math.abs(lx - rx) <= 1.5
+      } yield (lk, lx, rx, pay)).sorted
+      assert(got == want)
+    } finally {
+      SparkSession.setActiveSession(original)
+      SparkSession.setDefaultSession(original)
+    }
+  }
+
   test("d >= abs(...) flipped form and non-positive tolerances") {
     val q = probes.as("p").join(events.as("e"),
       col("p.user_id") === col("e.user_id") &&
