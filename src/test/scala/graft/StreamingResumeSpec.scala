@@ -46,6 +46,12 @@ class StreamingResumeSpec extends AnyFunSuite {
     // no epoch applied twice: snapshot versions strictly increase one per applied epoch
     // (6 segments - 0 duplicates = 6 snapshots)
     assert(table.latest().get.version == 6L)
+
+    // the schema ramp (v1 -> v4 at 25/50/75%) crossed epoch AND crash
+    // boundaries mid-stream: the delta groups must span multiple
+    // physical eras, proving streaming evolution (not just batch)
+    val eras = table.latest().get.groups.map(_.schemaVersion).toSet
+    assert(eras.size >= 3, s"stream must span schema eras, got $eras")
   }
 
   test("crash BEFORE commit: restart applies the batch (no loss)") {
