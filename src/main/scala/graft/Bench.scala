@@ -233,8 +233,12 @@ object Bench {
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e) }
+      val dt = (System.nanoTime() - t0) / 1e9
       err.foreach(e => System.err.println(s"[bench] QUERY FAILED $name: $e"))
-      (name, (System.nanoTime() - t0) / 1e9, err.isEmpty)
+      // drop Materialize'd DISK_ONLY intermediates between queries
+      // (outside the timed window — cleanup, not query work)
+      spark.catalog.clearCache()
+      (name, dt, err.isEmpty)
     }
     spark.stop()
 

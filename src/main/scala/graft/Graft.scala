@@ -199,7 +199,7 @@ object Graft {
         minJaccard: Double = 0.2, maxShingleDf: Int = 0): DataFrame = {
       val ka = s"${keyCol}_a"
       val kb = s"${keyCol}_b"
-      val sh = ngramShingles(keyCol, textCol, n).localCheckpoint(true)
+      val sh = Materialize(ngramShingles(keyCol, textCol, n))
       val sizes = sh.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
       val joinable = if (maxShingleDf > 0) {
         sh.withColumn("_df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
@@ -250,7 +250,7 @@ object Graft {
     def minhashCandidatePairs(keyCol: String, textCol: String, k: Int = 16,
         bands: Int = 4, minSim: Double = 0.25): DataFrame = {
       val rowsPerBand = k / bands
-      val sig = minhashSignatures(keyCol, textCol, k).localCheckpoint(true)
+      val sig = Materialize(minhashSignatures(keyCol, textCol, k))
       val banded = sig.select(col(keyCol), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))

@@ -65,7 +65,7 @@ object DedupOps {
     // matching minhash components. Hash-dependent -> spec-tested vs the
     // exact Jaccard oracle, rows-only driver check.
     "q26_dedup_minhash_lsh" -> ((s, dir) => {
-      val sig = signatures(docs(s, dir)).localCheckpoint(true)
+      val sig = graft.Materialize(signatures(docs(s, dir)))
       val rowsPerBand = MinhashK / Bands
       val banded = sig.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)), bnd =>
@@ -96,13 +96,12 @@ object DedupOps {
           .otherwise(-1)).as(s"v$b"))
       val assembled = (0 until 64).map(b =>
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
-      val sigd = docs(s, dir)
+      val sigd = graft.Materialize(docs(s, dir)
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
         .select(col("doc_id"), xxhash64(col("tok")).as("h"))
         .groupBy(col("doc_id"))
         .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), assembled.as("sim"))
-        .localCheckpoint(true)
+        .select(col("doc_id"), assembled.as("sim")))
       val chunked = sigd.select(col("doc_id"), col("sim"),
         posexplode(transform(sequence(lit(0), lit(3)), q =>
           call_function("shiftright", col("sim"), q * lit(16)).bitwiseAND(lit(0xFFFFL)))))

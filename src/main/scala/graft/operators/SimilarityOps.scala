@@ -45,7 +45,7 @@ object SimilarityOps {
     // 4 band projections), rerank candidates by exact cosine.
     // Hash-dependent -> rows-only driver check; recall vs q28 in spec.
     "q29_ann_lsh" -> ((s, dir) => {
-      val e = emb(s, dir).withColumn("sig", hyperplaneSig(col("v"), 8)).localCheckpoint(true)
+      val e = graft.Materialize(emb(s, dir).withColumn("sig", hyperplaneSig(col("v"), 8)))
       // 4 bands of 2 bits each removed -> join key = sig with band bits masked
       val banded = e.select(col("vec_id"), col("v"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(3)), bnd =>
@@ -75,7 +75,7 @@ object SimilarityOps {
     // rows-only driver check; recall + pruning asserted in spec.
     "q52_ann_ivf" -> ((s, dir) => {
       val (lists, centroids) = ivfIndex(emb(s, dir))
-      val listsM = lists.localCheckpoint(true)
+      val listsM = graft.Materialize(lists)
       val queries = listsM.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       // probe the IvfProbes nearest centroids per query (queries x K is
@@ -113,8 +113,8 @@ object SimilarityOps {
     // probability ~1.4e-2 — the standard LSH recall/cost tradeoff;
     // tune bits-per-band/bands to corpus size and threshold at scale.
     "q30_embed_neardup" -> ((s, dir) => {
-      val e = neardupInput(s, dir)
-        .withColumn("sig", hyperplaneSig(col("v"), 16)).localCheckpoint(true)
+      val e = graft.Materialize(neardupInput(s, dir)
+        .withColumn("sig", hyperplaneSig(col("v"), 16)))
       val banded = e.select(col("vec_id"), col("v"),
         posexplode(transform(sequence(lit(0), lit(3)), bnd =>
           call_function("shiftright", col("sig"), bnd * lit(4)).bitwiseAND(lit(0xFL)))))
@@ -153,7 +153,10 @@ object SimilarityOps {
         x => x.getField("m")).as("cv"))
       // K rows, but its lineage is the whole Lloyd pipeline — cut it,
       // or every consumer (assignment AND query probing) re-runs the
-      // full corpus pass
+      // full corpus pass. This is the ONE deliberate localCheckpoint in
+      // the engine (see graft.Materialize): eager lineage-cut of a K-row
+      // table is free to lose and free to rebuild; corpus-sized
+      // intermediates go through Materialize instead.
       .localCheckpoint(true)
     (assignToCentroids(e, centroids), centroids)
   }

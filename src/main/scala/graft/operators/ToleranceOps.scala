@@ -123,8 +123,8 @@ object ToleranceOps {
           .groupBy((keep :+ qCol).distinct.map(col): _*)
           .agg(min(col(aCol)).as(aCol))
       }
-      val withLat = axisArgmin(cust, "c_custkey", Seq("c_custkey", "c_lat", "c_lon"),
-        "c_lat", latAxis, "g_lat").localCheckpoint(true)
+      val withLat = graft.Materialize(axisArgmin(cust, "c_custkey", Seq("c_custkey", "c_lat", "c_lon"),
+        "c_lat", latAxis, "g_lat"))
       axisArgmin(withLat, "c_custkey", Seq("c_custkey", "c_lat", "c_lon", "g_lat"),
         "c_lon", lonAxis, "g_lon")
         .select(col("c_custkey"), col("g_lat"), col("g_lon"),
