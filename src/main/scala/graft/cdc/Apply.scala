@@ -38,6 +38,16 @@ final case class ApplyStats(
   */
 object Apply {
 
+  /** Per-table count of era probes answered by a full (column-pruned)
+    * batch scan rather than a caller hint / footer statistics — the
+    * 10^10-design "extra pass per epoch" this engine works to keep at
+    * zero on both the replay and streaming paths. Keyed by table root
+    * so concurrent pipelines observe their own counters (tests, ops). */
+  private val scanProbeCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def scanProbes(tableRoot: String): Long =
+    Option(scanProbeCounts.get(tableRoot)).map(_.longValue).getOrElse(0L)
+
   /** Normalize raw envelope rows (op, lsn, ts, schemaVersion, repo,
     * path, after) to era-physical payload columns at `version`. The
     * JSON payload is parsed exactly once into a struct column in its
@@ -103,8 +113,10 @@ object Apply {
     // era probe: prefer the caller-provided hint (parquet footer stats —
     // see ParquetStats.maxInt, zero data scanned); fall back to a
     // column-pruned scan for sources without footer metadata
-    val batchVersion = versionHint.getOrElse(
-      rawEvents.agg(coalesce(max(col("schemaVersion")), lit(1))).collect()(0).getInt(0))
+    val batchVersion = versionHint.getOrElse {
+      scanProbeCounts.merge(table.root, 1L, (a, b) => a + b)
+      rawEvents.agg(coalesce(max(col("schemaVersion")), lit(1))).collect()(0).getInt(0)
+    }
     val tProbe = t()
 
     // high-water mark BEFORE this batch: events at or below it arrived

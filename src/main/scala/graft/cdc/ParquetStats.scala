@@ -28,13 +28,26 @@ object ParquetStats {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return None
-    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    maxIntOfFiles(spark,
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq,
+      column)
+  }
+
+  /** Same probe over an EXPLICIT file list — the streaming path's form:
+    * a file-source micro-batch exposes its backing files via
+    * `DataFrame.inputFiles`, so the era probe costs O(batch files)
+    * footer reads instead of one column-pruned pass over the batch.
+    * None on an empty list or any missing per-column stats. */
+  def maxIntOfFiles(spark: SparkSession, files: Seq[String], column: String): Option[Int] = {
+    val conf = spark.sessionState.newHadoopConf()
     var sawAll = true
-    val maxes = files.iterator.flatMap { f =>
+    val maxes = files.iterator.filter(_.endsWith(".parquet")).flatMap { f =>
       // an unreadable/truncated file must not turn this optimization
       // into a hard failure — fall back to the scan probe instead
       scala.util.Try {
-        val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f), conf))
         try {
           reader.getFooter.getBlocks.asScala.flatMap { b =>
             b.getColumns.asScala.find(_.getPath.toDotString == column) match {

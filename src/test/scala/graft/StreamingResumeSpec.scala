@@ -52,6 +52,13 @@ class StreamingResumeSpec extends AnyFunSuite {
     // physical eras, proving streaming evolution (not just batch)
     val eras = table.latest().get.groups.map(_.schemaVersion).toSet
     assert(eras.size >= 3, s"stream must span schema eras, got $eras")
+
+    // the streaming path must answer every era probe from the
+    // micro-batch's parquet footers (batch.inputFiles), never by an
+    // extra column-pruned scan over the batch — the same elision
+    // replaySegments gets (round-2 verdict #2)
+    assert(Apply.scanProbes(tableDir) == 0L,
+      s"streaming era probe fell back to ${Apply.scanProbes(tableDir)} batch scans")
   }
 
   test("crash BEFORE commit: restart applies the batch (no loss)") {
