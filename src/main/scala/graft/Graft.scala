@@ -105,6 +105,55 @@ object Graft {
         .select(leftCols.map(col) :+ col("_asof").as(s"asof_$rightValue"): _*)
     }
 
+    /** Per-key LINEAR interpolation of `rightValue` AT each left row's
+      * probe time — the reference's main resample menu item
+      * (InterpolatorCore.py:87-130 method="linear" evaluated at the
+      * fixed target axis of TimeCoverage.py:94-97): for every left
+      * (probe) row, find the bracketing right rows (prev = latest
+      * rightTs at-or-before leftTs, next = earliest rightTs strictly
+      * after) and interpolate linearly between them; null outside the
+      * brackets (probe before the first / after the last event), exact
+      * value on an exact timestamp hit.
+      *
+      * Scale path: ONE shuffle — union both sides, one ordered window
+      * per direction (the asofJoinLatest shape run both ways); never a
+      * per-probe range join. `right` must be unique per (key, rightTs)
+      * (pre-reduce duplicates, e.g. dedupKeepFirst). Output: left
+      * columns + `interp_<rightValue>` (double). */
+    def interpolateLinearAt(right: DataFrame, keyCol: String, leftTs: String,
+        rightTs: String, rightValue: String): DataFrame = {
+      val leftCols = df.columns.toSeq
+      def us(c: Column) = unix_micros(c.cast("timestamp")).cast("double")
+      val l = df.withColumn("_k", col(keyCol))
+        .withColumn("_t", col(leftTs).cast("timestamp"))
+        .withColumn("_v", lit(null).cast("double"))
+        .withColumn("_side", lit(1))
+      val r = right.select(
+        col(keyCol).as("_k"), col(rightTs).cast("timestamp").as("_t"),
+        col(rightValue).cast("double").as("_v"), lit(0).as("_side"))
+      val rPadded = leftCols.foldLeft(r)((acc, c) =>
+        if (acc.columns.contains(c)) acc
+        else acc.withColumn(c, lit(null).cast(df.schema(c).dataType)))
+      // events sort BEFORE probes at equal time (side 0 < 1): an exact
+      // hit lands in the prev bracket, and `next` is strictly later
+      val wPrev = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val evT = when(col("_side") === 0, col("_t"))
+      l.unionByName(rPadded, allowMissingColumns = true)
+        .withColumn("_pv", last(col("_v"), ignoreNulls = true).over(wPrev))
+        .withColumn("_pt", last(evT, ignoreNulls = true).over(wPrev))
+        .withColumn("_nv", first(col("_v"), ignoreNulls = true).over(wNext))
+        .withColumn("_nt", first(evT, ignoreNulls = true).over(wNext))
+        .filter(col("_side") === 1)
+        .withColumn(s"interp_$rightValue",
+          when(us(col("_t")) === us(col("_pt")), col("_pv"))
+            .otherwise(col("_pv") + (col("_nv") - col("_pv")) *
+              (us(col("_t")) - us(col("_pt"))) / (us(col("_nt")) - us(col("_pt")))))
+        .select(leftCols.map(col) :+ col(s"interp_$rightValue"): _*)
+    }
+
     /** Sessionize: a gap longer than `gap` starts a new session;
       * returns the input plus a per-key `session_id`. */
     def sessionize(keyCol: String, tsCol: String, gap: String): DataFrame = {

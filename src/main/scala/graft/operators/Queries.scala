@@ -7,7 +7,8 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++
-      CdcOps.all ++ MultimodalOps.all ++ ExtraOps.all ++ ToleranceOps.all
+      CdcOps.all ++ MultimodalOps.all ++ ExtraOps.all ++ ToleranceOps.all ++
+      StencilOps.all
 
   /** DuckDB oracle SQL — identical output column names to the Spark
     * queries (the driver's compare sorts columns by name and hashes
@@ -156,5 +157,5 @@ object Queries {
          GROUP BY c_custkey"""
   ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
     CdcOps.oracles ++ MultimodalOps.oracles ++ ExtraOps.oracles ++
-    ToleranceOps.oracles
+    ToleranceOps.oracles ++ StencilOps.oracles
 }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft._
+
+/** Grid stencil / vector-field operators and target-axis interpolation —
+  * the last ungated SURVEY.md §2 rows (round-2 verdict "what's missing"
+  * #1-3):
+  *
+  *  - q54: LINEAR interpolation at target-axis probe times (reference
+  *    operator/interpolator/InterpolatorCore.py:87-130 method="linear"
+  *    evaluated at the fixed `pandas.date_range` target axis of
+  *    TimeCoverage.py:94-97) — [[graft.Graft.GraftOps.interpolateLinearAt]]:
+  *    bracketing prev/next event per probe via ONE union + two ordered
+  *    windows (single shuffle), null outside the brackets.
+  *  - q55: 2-D Arakawa-C destagger stencil (reference coverage/io/netcdf/
+  *    symphonie/SYMPHONIEReader.py:143-207: cell-center value = half-sum
+  *    of the two staggered neighbors, duplicating the edge value where
+  *    the neighbor is missing) — a self equi-join on the neighbor offset
+  *    (y, x+1) / (y+1, x): candidates are exactly one row per neighbor,
+  *    never a spatial product, and the join key is the grid index so it
+  *    broadcasts or co-partitions cleanly at any grid size.
+  *  - q56: vector rotation by a per-cell grid angle (SYMPHONIEReader.py:
+  *    209-260, rotation matrix at :122-141): (u,v) -> (u cos a + v sin a,
+  *    -u sin a + v cos a). Pure Column algebra, codegen'd end-to-end.
+  */
+object StencilOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val GridW = 64
+
+  /** Synthetic staggered grid over `part`: cell (x, y) with
+    * deterministic staggered velocity components u, v and a per-cell
+    * rotation angle. The SAME derivation is expressed in the DuckDB
+    * oracles (doubles throughout — DuckDB numeric literals are DECIMAL
+    * unless cast). */
+  private def staggeredGrid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey").as("cell_id"),
+        (col("p_partkey") % GridW).as("x"),
+        floor(col("p_partkey") / lit(GridW.toDouble)).cast("long").as("y"))
+      .withColumn("u", sin(col("x") * 0.7 + col("y") * 0.3))
+      .withColumn("v", cos(col("x") * 0.2 - col("y") * 0.5))
+
+  private val gridSql =
+    s"""SELECT p_partkey AS cell_id, p_partkey % $GridW AS x,
+          CAST(floor(p_partkey / CAST($GridW.0 AS DOUBLE)) AS BIGINT) AS y
+        FROM part"""
+
+  private val uvSql =
+    s"""SELECT cell_id, x, y,
+          sin(x * CAST(0.7 AS DOUBLE) + y * CAST(0.3 AS DOUBLE)) AS u,
+          cos(x * CAST(0.2 AS DOUBLE) - y * CAST(0.5 AS DOUBLE)) AS v
+        FROM g"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.9 linear interpolation AT an arbitrary probe grid: bracketing
+    // neighbors per probe, single-shuffle union+window both directions
+    "q54_interp_linear_axis" -> ((s, dir) => {
+      // unique (key, ts) series: keep-first by event_id (same reduction
+      // the reference's duplicate-timestep drop applies)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+        .dedupKeepFirst(Seq("user_id", "ts"), Seq(col("event_id")))
+      Relational.probeGrid(s, dir)
+        .interpolateLinearAt(ev, "user_id", "probe_ts", "ts", "value")
+        .select(col("user_id"), col("probe_ts"),
+          round(col("interp_value"), 6).as("interp_value"))
+    }),
+
+    // §2.6 2-D destagger stencil: half-sum of staggered neighbors with
+    // edge duplication, as neighbor-offset equi-joins
+    "q55_destagger_2d" -> ((s, dir) => {
+      val g = staggeredGrid(s, dir)
+      val un = g.select(col("y"), (col("x") - 1).as("x"), col("u").as("_u_xp"))
+      val vn = g.select((col("y") - 1).as("y"), col("x"), col("v").as("_v_yp"))
+      g.join(un, Seq("y", "x"), "left")
+        .join(vn, Seq("y", "x"), "left")
+        .select(col("cell_id"), col("x"), col("y"),
+          round((col("u") + coalesce(col("_u_xp"), col("u"))) * 0.5, 6).as("u_destag"),
+          round((col("v") + coalesce(col("_v_yp"), col("v"))) * 0.5, 6).as("v_destag"))
+    }),
+
+    // §2.9 rotate (u,v) by the per-cell grid angle
+    "q56_vector_rotate" -> ((s, dir) => {
+      val a: Column = col("x") * 0.05 - col("y") * 0.03
+      staggeredGrid(s, dir)
+        .select(col("cell_id"), col("x"), col("y"),
+          round(col("u") * cos(a) + col("v") * sin(a), 6).as("u_rot"),
+          round(-col("u") * sin(a) + col("v") * cos(a), 6).as("v_rot"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q54_interp_linear_axis" ->
+      """WITH probes AS (
+           SELECT user_id, probe_ts
+           FROM (SELECT DISTINCT user_id FROM events),
+             LATERAL unnest(generate_series(TIMESTAMP '2024-01-02',
+               TIMESTAMP '2024-01-30', INTERVAL 6 HOUR)) AS t(probe_ts)),
+         ev AS (
+           SELECT user_id, ts, value FROM (
+             SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+             FROM events)
+           WHERE rn = 1),
+         prev AS (
+           SELECT p.user_id, p.probe_ts, e.ts AS pt, e.value AS pv
+           FROM probes p ASOF LEFT JOIN ev e
+             ON p.user_id = e.user_id AND p.probe_ts >= e.ts),
+         nxt AS (
+           SELECT p.user_id, p.probe_ts, e.ts AS nt, e.value AS nv
+           FROM probes p ASOF LEFT JOIN ev e
+             ON p.user_id = e.user_id AND p.probe_ts < e.ts)
+         SELECT pr.user_id, pr.probe_ts,
+           round(CASE WHEN pr.pt = pr.probe_ts THEN pr.pv
+                 ELSE pr.pv + (nx.nv - pr.pv)
+                   * (epoch_us(pr.probe_ts) - epoch_us(pr.pt))
+                   / (epoch_us(nx.nt) - epoch_us(pr.pt)) END, 6) AS interp_value
+         FROM prev pr JOIN nxt nx
+           ON nx.user_id = pr.user_id AND nx.probe_ts = pr.probe_ts""",
+    "q55_destagger_2d" ->
+      s"""WITH g AS ($gridSql),
+          guv AS ($uvSql)
+          SELECT a.cell_id, a.x, a.y,
+            round((a.u + coalesce(ux.u, a.u)) * CAST(0.5 AS DOUBLE), 6) AS u_destag,
+            round((a.v + coalesce(vy.v, a.v)) * CAST(0.5 AS DOUBLE), 6) AS v_destag
+          FROM guv a
+          LEFT JOIN guv ux ON ux.y = a.y AND ux.x = a.x + 1
+          LEFT JOIN guv vy ON vy.y = a.y + 1 AND vy.x = a.x""",
+    "q56_vector_rotate" ->
+      s"""WITH g AS ($gridSql),
+          guv AS ($uvSql)
+          SELECT cell_id, x, y,
+            round(u * cos(x * CAST(0.05 AS DOUBLE) - y * CAST(0.03 AS DOUBLE))
+              + v * sin(x * CAST(0.05 AS DOUBLE) - y * CAST(0.03 AS DOUBLE)), 6) AS u_rot,
+            round(-u * sin(x * CAST(0.05 AS DOUBLE) - y * CAST(0.03 AS DOUBLE))
+              + v * cos(x * CAST(0.05 AS DOUBLE) - y * CAST(0.03 AS DOUBLE)), 6) AS v_rot
+          FROM guv"""
+  )
+}

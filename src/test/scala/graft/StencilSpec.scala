@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.Graft._
+
+/** Hand-computed golden cases for the round-3 operators: bracketing
+  * linear interpolation at probe times (q54) and the 2-D destagger
+  * stencil's edge-duplication semantics (q55). The gates check these
+  * against DuckDB at sf0.01; this pins the EDGE semantics explicitly.
+  */
+class StencilSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("interpolateLinearAt: brackets, exact hit, and out-of-range nulls") {
+    val ev = Seq(
+      ("a", "2024-01-01 00:00:00", 10.0),
+      ("a", "2024-01-01 00:00:10", 20.0),
+      ("a", "2024-01-01 00:00:30", 40.0)
+    ).toDF("k", "ts", "value").withColumn("ts", col("ts").cast("timestamp"))
+    val probes = Seq(
+      ("a", "2023-12-31 23:59:59"), // before first -> null
+      ("a", "2024-01-01 00:00:05"), // midpoint of 10..20 -> 15
+      ("a", "2024-01-01 00:00:10"), // exact hit -> 20
+      ("a", "2024-01-01 00:00:25"), // 3/4 through 20..40 -> 35
+      ("a", "2024-01-01 00:00:31")  // after last -> null
+    ).toDF("k", "pts").withColumn("pts", col("pts").cast("timestamp"))
+    val got = probes.interpolateLinearAt(ev, "k", "pts", "ts", "value")
+      .orderBy("pts").select("interp_value").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(None, Some(15.0), Some(20.0), Some(35.0), None))
+  }
+
+  test("interpolateLinearAt: exact hit on the LAST event still resolves") {
+    val ev = Seq(("a", "2024-01-01 00:00:10", 20.0))
+      .toDF("k", "ts", "value").withColumn("ts", col("ts").cast("timestamp"))
+    val probes = Seq(("a", "2024-01-01 00:00:10"))
+      .toDF("k", "pts").withColumn("pts", col("pts").cast("timestamp"))
+    val r = probes.interpolateLinearAt(ev, "k", "pts", "ts", "value").collect()(0)
+    assert(r.getAs[Double]("interp_value") == 20.0)
+  }
+
+  test("destagger gate duplicates the edge value where the neighbor is missing") {
+    // the max-key cell has neither its (y, x+1) nor its (y+1, x)
+    // neighbor in the grid: both destaggered components must equal the
+    // staggered values (half-sum with the duplicated edge value)
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.operators.StencilOps.all("q55_destagger_2d")(spark, sf)
+    val w = graft.operators.StencilOps.GridW
+    val cid = spark.read.parquet(s"$sf/part.parquet")
+      .agg(max("p_partkey")).collect()(0).getLong(0)
+    val (x, y) = (cid % w, cid / w)
+    // Spark round() is HALF_UP BigDecimal rounding — mirror it exactly
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val u = math.sin(x * 0.7 + y * 0.3)
+    val v = math.cos(x * 0.2 - y * 0.5)
+    val got = out.filter(col("cell_id") === cid).collect()(0)
+    assert(got.getAs[Double]("u_destag") == r6(u),
+      s"edge cell $cid u_destag must duplicate u")
+    assert(got.getAs[Double]("v_destag") == r6(v),
+      s"edge cell $cid v_destag must duplicate v")
+  }
+}
