@@ -13,8 +13,12 @@ import org.apache.spark.sql.types._
 /** A file group within a snapshot: parquet files written under one
   * physical payload-schema era. Per-group schema ids emulate Iceberg's
   * per-file schema tracking so WIDEN (int->long) across eras never
-  * relies on parquet `mergeSchema` (which cannot widen). */
-final case class FileGroup(dir: String, schemaVersion: Int, kind: String) // kind: base | delta
+  * relies on parquet `mergeSchema` (which cannot widen).
+  * `excludedBuckets`: bucket partitions of this group superseded by a
+  * later per-bucket compaction — readers skip them (partition pruning),
+  * the files themselves are never rewritten. */
+final case class FileGroup(dir: String, schemaVersion: Int, kind: String, // kind: base | delta
+    excludedBuckets: Set[Int] = Set.empty)
 
 /** One committed table snapshot (manifest). Versions are monotonically
   * increasing; the manifest with the highest version is current.
@@ -112,7 +116,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   private def readManifest(version: Long): Snapshot = {
     val node = mapper.readTree(Files.readAllBytes(manifestPath(version)))
     val groups = node.get("groups").elements().asScala.map { g =>
-      FileGroup(g.get("dir").asText(), g.get("schemaVersion").asInt(), g.get("kind").asText())
+      val excluded =
+        if (g.has("excludedBuckets"))
+          g.get("excludedBuckets").elements().asScala.map(_.asInt()).toSet
+        else Set.empty[Int]
+      FileGroup(g.get("dir").asText(), g.get("schemaVersion").asInt(),
+        g.get("kind").asText(), excluded)
     }.toSeq
     Snapshot(
       node.get("version").asLong(),
@@ -136,6 +145,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     s.groups.foreach { g =>
       val gn = arr.addObject()
       gn.put("dir", g.dir); gn.put("schemaVersion", g.schemaVersion); gn.put("kind", g.kind)
+      if (g.excludedBuckets.nonEmpty) {
+        val ex = gn.putArray("excludedBuckets")
+        g.excludedBuckets.toSeq.sorted.foreach(ex.add)
+      }
     }
     val tmp = manifestDir.resolve(s".tmp-${UUID.randomUUID()}.json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(obj))
@@ -194,11 +207,24 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   // ---- read (merge-on-read reconstruction) -------------------------
 
   /** All live rows incl. tombstones, aligned to the current registry
-    * schema. One scan per schema era, then unionByName. */
-  private def rawRows(spark: SparkSession, snapshot: Option[Snapshot]): Option[DataFrame] = {
+    * schema. One scan per schema era, then unionByName. Bucket
+    * restrictions (per-group compaction exclusions + the optional
+    * caller filter) apply on the `bucket` PARTITION column, so they
+    * prune directories at planning time — no data from a skipped
+    * bucket is ever read. */
+  private def rawRows(spark: SparkSession, snapshot: Option[Snapshot],
+      onlyBuckets: Option[Set[Int]] = None): Option[DataFrame] = {
     snapshot.flatMap { s =>
       val dfs = s.groups.map { g =>
-        SchemaRegistry.alignToCurrent(spark.read.parquet(s"$root/${g.dir}"))
+        val base = spark.read.parquet(s"$root/${g.dir}")
+        val afterExcl =
+          if (g.excludedBuckets.isEmpty) base
+          else base.filter(!col("bucket").isin(g.excludedBuckets.toSeq: _*))
+        val restricted = onlyBuckets match {
+          case Some(bs) => afterExcl.filter(col("bucket").isin(bs.toSeq: _*))
+          case None     => afterExcl
+        }
+        SchemaRegistry.alignToCurrent(restricted)
       }
       dfs.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
     }
@@ -211,10 +237,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   def readVersion(spark: SparkSession, version: Long): DataFrame =
     readAt(spark, snapshotAt(version))
 
-  private def readAt(spark: SparkSession, snapshot: Option[Snapshot]): DataFrame = {
+  private def readAt(spark: SparkSession, snapshot: Option[Snapshot],
+      onlyBuckets: Option[Set[Int]] = None): DataFrame = {
     val payload = SchemaRegistry.currentPayloadNames
     val valueCols = Seq("op", "lsn", "ts") ++ payload
-    rawRows(spark, snapshot) match {
+    rawRows(spark, snapshot, onlyBuckets) match {
       case None =>
         // same shape as the non-empty branch (which drops `op` after
         // filtering tombstones) — a read must not change schema with
@@ -264,6 +291,9 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     if (appended.exists(_.kind == "base"))
       throw new IllegalStateException(
         s"snapshot range ($sinceVersion, $toVersion] contains a compacted base; use read()")
+    if (appended.exists(_.excludedBuckets.nonEmpty))
+      throw new IllegalStateException(
+        s"snapshot range ($sinceVersion, $toVersion] crosses a per-bucket compaction; use read()")
     val payload = SchemaRegistry.currentPayloadNames
     val cols = Seq("repo", "path", "op", "lsn", "ts") ++ payload
     appended
@@ -302,6 +332,67 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
         s.version + 1L, s.epochId, s.schemaVersion,
         if (wroteFiles) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil, 0,
         s.maxLsn))
+    }
+  }
+
+  /** Bucket partitions a group actually wrote (directory listing —
+    * O(buckets) metadata, no file opens). */
+  private def groupBuckets(dir: String): Set[Int] = {
+    val p = Paths.get(root, dir)
+    if (!Files.isDirectory(p)) return Set.empty
+    Using.resource(Files.list(p)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("bucket=") => s.stripPrefix("bucket=").toInt }
+        .toSet
+    }
+  }
+
+  /** Incremental (per-bucket) compaction — the Iceberg binpack analogue
+    * the 10^10-event design point needs: rewrite ONLY buckets whose
+    * live delta-group count reaches `minDeltas` into a new per-bucket
+    * base group; every other bucket's files are untouched (their groups
+    * stay referenced, with the compacted buckets excluded via partition
+    * pruning). A full-table `compact` at that scale rewrites ~the whole
+    * table to absorb a handful of hot buckets' deltas; this rewrites
+    * O(hot-bucket data). Groups whose live buckets are all superseded
+    * drop out of the manifest (their files become vacuum candidates for
+    * expireSnapshots). Returns the compacted bucket ids (empty = no-op,
+    * no new snapshot committed). */
+  def compactBuckets(spark: SparkSession, minDeltas: Int): Set[Int] = {
+    latest() match {
+      case None => Set.empty
+      case Some(s) =>
+        val live: Seq[(FileGroup, Set[Int])] =
+          s.groups.map(g => g -> (groupBuckets(g.dir) -- g.excludedBuckets))
+        val deltaCounts = live.filter(_._1.kind == "delta")
+          .flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+        val hot = deltaCounts.filter(_._2 >= minDeltas).keySet
+        if (hot.isEmpty) return Set.empty
+
+        // merged state of the hot buckets only: partition pruning keeps
+        // the scan O(hot-bucket data); re-deriving bucketCol lands every
+        // row back in its (hot) bucket
+        val state = readAt(spark, Some(s), onlyBuckets = Some(hot))
+          .withColumn("op", lit("U"))
+        val groupDir = s"data/${UUID.randomUUID().toString.take(12)}-base"
+        val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
+        state
+          .select((cols.map(col) :+ bucketCol): _*)
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$root/$groupDir")
+        val wrote = hasParquet(Paths.get(root, groupDir))
+
+        val kept = live.flatMap { case (g, liveBuckets) =>
+          if ((liveBuckets -- hot).isEmpty) None // fully superseded
+          else Some(g.copy(excludedBuckets = g.excludedBuckets ++ (hot & liveBuckets)))
+        }
+        val groups = kept ++
+          (if (wrote) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil)
+        commitManifest(Snapshot(
+          s.version + 1L, s.epochId, s.schemaVersion, groups,
+          groups.count(_.kind == "delta"), s.maxLsn))
+        hot
     }
   }
 

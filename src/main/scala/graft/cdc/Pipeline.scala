@@ -60,7 +60,11 @@ object Pipeline {
         ChangeLogGen.events(spark, cfg, Some((idLo, idHi))), cfg, epochs)
       val batch = window.filter(col("epoch") === e.toLong).drop("delivery", "epoch")
       val stats = Apply.applyEpoch(spark, table, batch, e.toLong, audit, salted)
-      if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) table.compact(spark)
+      // incremental: only buckets with >= compactEvery live delta groups
+      // rewrite (deltaGroupCount >= threshold is a cheap necessary
+      // condition — per-bucket counts never exceed the group count)
+      if (compactEvery > 0 && table.deltaGroupCount >= compactEvery)
+        table.compactBuckets(spark, compactEvery)
       stats
     }
     audit.foreach(_.flush())
@@ -198,7 +202,7 @@ object Pipeline {
         Apply.applyEpoch(batch.sparkSession, table, batch, epochId, audit,
           versionHint = hint)
         if (compactEvery > 0 && table.deltaGroupCount >= compactEvery)
-          table.compact(batch.sparkSession)
+          table.compactBuckets(batch.sparkSession, compactEvery)
         failAfterEpoch.foreach { f =>
           if (epochId == f) throw new RuntimeException(s"injected failure after epoch $f commit")
         }
