@@ -189,7 +189,12 @@ object Graft {
       * (point/utils/filters.py:18-27). Scale path: repartition by key +
       * sortWithinPartitions + one streaming fold per partition — state
       * is O(filter order) per key, NEVER the whole per-key series in
-      * memory (a hot key cannot OOM a task). Appends `outCol`. */
+      * memory (a hot key cannot OOM a task). Appends `outCol`.
+      *
+      * Null `valueCol` rows pass through with a null `outCol` and do
+      * NOT advance the filter state (they are not samples) — matching
+      * the engine's null-tolerant Column operators rather than failing
+      * mid-task. */
     def iirFilter(keyCol: String, orderCols: Seq[String], valueCol: String,
         b: Array[Double], a: Array[Double], outCol: String = "filtered"): DataFrame = {
       import org.apache.spark.sql.{Encoders, Row}
@@ -208,8 +213,8 @@ object Graft {
               curKey = k
               state = graft.functions.IIR.newState(b, a)
             }
-            val y = graft.functions.IIR.step(b, a, state, r.getDouble(vi))
-            Row.fromSeq(r.toSeq :+ y)
+            if (r.isNullAt(vi)) Row.fromSeq(r.toSeq :+ null)
+            else Row.fromSeq(r.toSeq :+ graft.functions.IIR.step(b, a, state, r.getDouble(vi)))
           }
         }(Encoders.row(outSchema))
     }

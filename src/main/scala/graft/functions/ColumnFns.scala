@@ -51,27 +51,4 @@ object ColumnFns {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
-  /** Cosine similarity of two float-array columns via zip_with +
-    * aggregate (codegen'd higher-order functions, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
-
-  /** 64-bit SimHash of an array of token strings: per-token xxhash64,
-    * sign-vote each bit. Built from explode-free higher-order funcs. */
-  def simhash64(tokens: Column): Column = {
-    // votes(bit) = sum over tokens of (bit set ? +1 : -1); simhash bit = votes > 0
-    val bits = sequence(lit(0), lit(63))
-    val votes = transform(bits, bit =>
-      aggregate(tokens, lit(0),
-        (acc, t) => acc +
-          when(call_function("shiftright", xxhash64(t), bit).bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1)))
-    aggregate(
-      zip_with(votes, bits, (v, bit) =>
-        when(v > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
 }

@@ -69,7 +69,7 @@ object ExtraOps {
     // O(1) state per key (the round-1 flatMapGroups version buffered the
     // whole per-key series on one task: a hot key at 100x OOMs).
     // Inherently sequential per key -> no SQL oracle (rows-only driver
-    // check + golden values in IIRSpec).
+    // check; golden filter values in ToleranceSpec's lfilter tests).
     "q42_lowpass" -> ((s, dir) => {
       val (b, a) = graft.functions.IIR.exponential(0.3)
       s.read.parquet(s"$dir/events.parquet")
@@ -82,8 +82,9 @@ object ExtraOps {
     // order-N IIR: a true 2nd-order digital Butterworth low-pass
     // (the reference's scipy butter+lfilter, point/utils/filters.py:
     // 18-27), coefficient-vector (b, a) design + per-key ordered
-    // streaming fold. Golden-value coefficients + response in IIRSpec;
-    // rows-only driver check (recursion has no SQL form).
+    // streaming fold. Golden-value coefficients + response in
+    // ToleranceSpec (scipy-parity butter + lfilter tests); rows-only
+    // driver check (recursion has no SQL form).
     "q46_iir_butterworth" -> ((s, dir) => {
       val (b, a) = graft.functions.IIR.butterLowpass(order = 2, wn = 0.25)
       s.read.parquet(s"$dir/events.parquet")
@@ -123,7 +124,12 @@ object ExtraOps {
     // with an explicit schema, aggregate — must equal aggregating the
     // original table
     "q44_tsv_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tsv").toString
+      // fixed per-input scratch dir, overwritten each run — a
+      // createTempDirectory here leaked one dir per invocation across
+      // repeated gate/bench runs
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-tsv-${java.lang.Integer.toHexString(dir.hashCode)}").toString
       s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.mode("overwrite").option("sep", "\t").option("header", "true").csv(tmp)

@@ -163,7 +163,14 @@ object SimilarityOps {
 
   /** Nearest-centroid assignment via the two-pass hash-agg argmax (the
     * q48 pattern: plain double agg buffers, map-side combine; a
-    * min_by-over-struct would SortAggregate the n x K product). */
+    * min_by-over-struct would SortAggregate the n x K product).
+    *
+    * INVARIANT (recompute equality): pass 2 re-evaluates the cosine and
+    * filters === max with exact double equality — sound because both
+    * passes run the same codegen'd expression over the same rows. A
+    * divergence would DROP vectors from the assignment (never shift
+    * them silently); QueriesSpec asserts every corpus vector is
+    * assigned exactly once. */
   private def assignToCentroids(e: DataFrame, centroids: DataFrame): DataFrame = {
     val prod = e.crossJoin(broadcast(centroids))
       .withColumn("_cos", CosineSimilarity(col("v"), col("cv")))

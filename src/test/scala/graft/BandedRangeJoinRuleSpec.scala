@@ -106,6 +106,69 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("a user column literally named _graft_bin does not suppress the rule") {
+    import spark.implicits._
+    // the round-2 guard matched on attribute NAME; the structural guard
+    // must still fire here (and still fire only once)
+    def l = (1 to 20).map(i => (i.toLong % 3, i * 2.0, s"user-$i"))
+      .toDF("k", "lx", "_graft_bin")
+    def r = (1 to 60).map(i => (i.toLong % 3, i * 0.7)).toDF("k", "rx")
+    def q = l.as("l").join(r.as("r"),
+      col("l.k") === col("r.k") && abs(col("l.lx") - col("r.rx")) <= lit(1.5))
+    val baseline = q.count()
+    withRule {
+      val fresh = q
+      val plan = fresh.queryExecution.executedPlan.toString
+      assert("Generate".r.findAllIn(plan).size == 1,
+        s"rule must fire exactly once despite the user column:\n${plan.take(2000)}")
+      assert(fresh.count() == baseline)
+    }
+  }
+
+  test("integral operands beyond 2^53 bin exactly (no double-cast row loss)") {
+    import spark.implicits._
+    // nanosecond-epoch-sized longs: consecutive values differ by 1, far
+    // beyond double's exact-integer range — a double-cast bin would
+    // merge/shift bins and silently drop matches near bin borders
+    val base = (1L << 60) + 12345678901L
+    def l = (0 until 40).map(i => (i % 4, base + i * 1000L)).toDF("k", "lt")
+    def r = (0 until 200).map(i => (i % 4, base + i * 251L, i)).toDF("k", "rt", "pay")
+    def q = l.as("l").join(r.as("r"),
+      col("l.k") === col("r.k") && abs(col("l.lt") - col("r.rt")) <= lit(500L))
+    val baseline = q.select("lt", "rt", "pay").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).sorted.toSeq
+    assert(baseline.nonEmpty)
+    withRule {
+      val fresh = q
+      val plan = fresh.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_bin"), s"rule did not fire on longs:\n${plan.take(1500)}")
+      assert(plan.contains(" div "), s"integral operands must bin with div:\n${plan.take(1500)}")
+      val got = fresh.select("lt", "rt", "pay").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).sorted.toSeq
+      assert(got == baseline)
+    }
+  }
+
+  test("timestamp operands with an INTERVAL tolerance bin on epoch micros") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def l = (0 until 30).map(i => (i % 3, new java.sql.Timestamp(t0 + i * 3600000L)))
+      .toDF("k", "lts")
+    def r = (0 until 90).map(i => (i % 3, new java.sql.Timestamp(t0 + i * 1300000L)))
+      .toDF("k", "rts")
+    def q = l.as("l").join(r.as("r"),
+      col("l.k") === col("r.k") &&
+        abs(col("l.lts") - col("r.rts")) <= expr("INTERVAL 30 MINUTES"))
+    val baseline = q.count()
+    assert(baseline > 0)
+    withRule {
+      val fresh = q
+      val plan = fresh.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_bin"), s"rule did not fire on timestamps:\n${plan.take(1500)}")
+      assert(fresh.count() == baseline)
+    }
+  }
+
   test("d >= abs(...) flipped form and non-positive tolerances") {
     val q = probes.as("p").join(events.as("e"),
       col("p.user_id") === col("e.user_id") &&

@@ -76,6 +76,13 @@ class QueriesSpec extends AnyFunSuite {
     val probedShare = sizes.sorted.reverse.take(
       graft.operators.SimilarityOps.IvfProbes).sum / total
     assert(probedShare < 0.8, s"probing ${probedShare} of the corpus is not pruning")
+    // recompute-equality invariant of the two-pass argmax assignment:
+    // a codegen divergence between the passes would DROP vectors from
+    // the inverted lists — every corpus vector must be assigned once
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(lists.count() == corpus, "IVF assignment lost vectors")
+    assert(lists.select("vec_id").distinct().count() == corpus,
+      "IVF assignment duplicated vectors")
   }
 
   test("simhash near-dups are plausible (hamming bound respected)") {

@@ -112,6 +112,17 @@ class ToleranceSpec extends AnyFunSuite {
     }
   }
 
+  test("q48 two-pass argmin retains every query point (recompute equality)") {
+    // the pass-2 `d === min(d)` filter depends on bit-identical
+    // recomputation of the same codegen'd expression; a divergence
+    // would DROP customers (never shift them) — pin the invariant
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q48_quick_nn")(spark, sf)
+    val customers = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(out.count() == customers, "argmin re-probe dropped query points")
+    assert(out.select("c_custkey").distinct().count() == customers)
+  }
+
   test("q45 banded level match equals a driver-side tolerance recomputation") {
     val got = SparkEntry.queries("q45_level_match")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1)) ->
