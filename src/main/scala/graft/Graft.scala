@@ -339,6 +339,68 @@ object Graft {
         .select(col(keyCol), assembled.as("sim"))
     }
 
+    /** Connected components over an edge list (this frame's `srcCol`,
+      * `dstCol` columns): labels every node with the MINIMUM node id
+      * reachable from it. The canonicalization step that turns near-dup
+      * PAIRS (ngramJaccardPairs / minhashCandidatePairs / SimHash
+      * chunk-LSH) into dedup CLUSTERS: keep the min doc of each
+      * component, drop the rest — without it, transitive chains
+      * (A~B, B~C but A!~C) dedup inconsistently.
+      *
+      * Algorithm: min-label propagation with POINTER JUMPING — each
+      * round (1) every node takes the min label across its neighbors
+      * and itself, then (2) labels compress through themselves
+      * (label(x) := label(label(x)), the union-find path-halving step),
+      * so convergence is O(log diameter) rounds, not O(diameter): a
+      * 10^6-node chain needs ~20 rounds, not 10^6. Each round is a
+      * bounded number of hash-shuffles of the O(E) edge list — no
+      * driver-side graph state, no collect; the edge list is the
+      * near-dup PAIR set, which is orders of magnitude smaller than the
+      * corpus at 100 TB. Rounds run to a fixpoint (changed-label count
+      * = 0) capped at `maxIter`.
+      *
+      * Output: one row per distinct node, (node, component) in the node
+      * column's own type. Per-round state goes through
+      * [[Materialize.loopState]] — iterative lineage MUST be cut every
+      * round (a round references the previous frame several times, so a
+      * persist-only loop grows the logical plan exponentially and the
+      * ANALYZER becomes the bottleneck); reliable `checkpoint` under
+      * `spark.graft.materialize=checkpoint` on a real cluster. */
+    def connectedComponents(srcCol: String, dstCol: String,
+        maxIter: Int = 50): DataFrame = {
+      val edges = Materialize.loopState(
+        df.select(col(srcCol).as("_ca"), col(dstCol).as("_cb"))
+          .union(df.select(col(dstCol).as("_ca"), col(srcCol).as("_cb")))
+          .distinct())
+      // init: label = min(self, neighbors); every node appears as _ca
+      var labels = Materialize.loopState(edges.groupBy(col("_ca").as("node"))
+        .agg(least(first(col("_ca")), min(col("_cb"))).as("component")))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        // (1) propagate the min label across edges
+        val prop = Materialize.loopState(edges
+          .join(labels.select(col("node").as("_ca"), col("component")), "_ca")
+          .select(col("_cb").as("node"), col("component"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("component")).as("component")))
+        // (2) pointer-jump: compress label through its own label
+        val next = Materialize.loopState(prop
+          .join(prop.select(col("node").as("_jn"), col("component").as("_jc")),
+            col("component") === col("_jn"), "left")
+          .select(col("node"), coalesce(col("_jc"), col("component")).as("component")))
+        changed = next
+          .join(labels.select(col("node"), col("component").as("_old")), "node")
+          .filter(col("component") =!= col("_old")).count()
+        labels.unpersist()
+        prop.unpersist()
+        labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      labels
+    }
+
     /** Brute-force cosine top-k neighbors of each row in `queries`
       * (broadcast) — native codegen CosineSimilarity kernel. Inputs
       * need (idCol, vecCol) on both sides. */

@@ -45,4 +45,27 @@ object Materialize {
       case "checkpoint" => df.checkpoint(eager = true)
       case _            => df.persist(StorageLevel.DISK_ONLY)
     }
+
+  /** Materialization for ITERATIVE loop state (connected-components
+    * labels and the like), where `persist` is NOT enough: persist cuts
+    * physical recomputation but keeps the logical plan, and a loop whose
+    * round references the previous round's frame k times grows the plan
+    * k^rounds — the analyzer itself becomes the bottleneck (observed: a
+    * 2 GB plan string by round ~15). Lineage must be CUT every round:
+    *
+    *  - with `spark.graft.materialize=checkpoint` (the real-cluster
+    *    setting; requires `sparkContext.setCheckpointDir` to reliable
+    *    storage) rounds checkpoint durably — executor loss mid-loop
+    *    replays nothing.
+    *  - otherwise `localCheckpoint(eager)`: the right default because
+    *    loop state is O(distinct nodes in the PAIR list) — orders of
+    *    magnitude smaller than the corpus (this is not the fenced
+    *    corpus-sized-intermediate case), and the loop re-runs from its
+    *    input on executor loss.
+    */
+  def loopState(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("spark.graft.materialize", "persist") match {
+      case "checkpoint" => df.checkpoint(eager = true)
+      case _            => df.localCheckpoint(eager = true)
+    }
 }

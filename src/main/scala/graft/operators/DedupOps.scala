@@ -86,6 +86,20 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"), col("est_sim"))
     }),
 
+    // near-dup CLUSTERS from exact-Jaccard pairs: distributed connected
+    // components (min-label propagation + pointer jumping — O(log
+    // diameter) rounds of bounded hash-shuffles over the PAIR list,
+    // which is corpus-scale-independent) labels each duplicate doc with
+    // the min doc_id of its component — the canonicalization step
+    // between pair generation and "keep one copy" (transitive chains
+    // A~B~C collapse to one cluster even when A!~C directly).
+    "q57_dup_clusters" -> ((s, dir) => {
+      docs(s, dir)
+        .ngramJaccardPairs("doc_id", "text", n = 3, minJaccard = 0.2, maxShingleDf = MaxShingleDf)
+        .connectedComponents("doc_id_a", "doc_id_b")
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    }),
+
     // SimHash near-dup: 64-bit signature per doc, candidate pairs by
     // identical 16-bit quarter (LSH on bit-chunks), keep hamming <= 6.
     // Signature built with explode + 64 codegen'd sum aggregates (the
@@ -117,12 +131,11 @@ object DedupOps {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    "q24_dedup_exact" ->
-      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_doc_id
-         FROM documents GROUP BY 1""",
-    "q25_ngram_jaccard" ->
-      s"""WITH toks AS (
+  /** The exact-Jaccard pair pipeline as shared DuckDB CTEs (table
+    * `pairs(doc_a, doc_b, jaccard)`) — q25 selects it directly; q57
+    * closes it transitively. */
+  private val pairsCtes =
+    s"""toks AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
            FROM documents),
          sh AS (
@@ -139,14 +152,34 @@ object DedupOps {
          inter AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b, jaccard FROM (
-           SELECT doc_a, doc_b,
-             round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
-           FROM inter
-           JOIN sizes sa ON sa.doc_id = doc_a
-           JOIN sizes sb ON sb.doc_id = doc_b)
-         WHERE jaccard >= 0.2"""
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b, jaccard FROM (
+             SELECT doc_a, doc_b,
+               round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+             FROM inter
+             JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b)
+           WHERE jaccard >= 0.2)"""
+
+  val oracles: Map[String, String] = Map(
+    "q24_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_doc_id
+         FROM documents GROUP BY 1""",
+    "q25_ngram_jaccard" ->
+      s"WITH $pairsCtes SELECT doc_a, doc_b, jaccard FROM pairs",
+    // transitive closure of the pair graph; component id = min reachable
+    // doc_id — the recursive-CTE ground truth for connectedComponents
+    "q57_dup_clusters" ->
+      s"""WITH RECURSIVE $pairsCtes,
+         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+         reach(node, comp) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM e)
+           UNION
+           SELECT e.a, r.comp FROM e JOIN reach r ON r.node = e.b)
+         SELECT node AS doc_id, min(comp) AS cluster_id
+         FROM reach GROUP BY node"""
     // q26/q27: xxhash64-based — not reproducible in DuckDB; spec-tested
     // against the exact-Jaccard oracle instead (DedupSpec).
   )

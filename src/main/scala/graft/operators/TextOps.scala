@@ -100,6 +100,45 @@ object TextOps {
       docs(s, dir)
         .groupBy(fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc_id"))
+    }),
+
+    // deterministic hash-based stratified split (train/val/test): the
+    // held-out-split assignment every training pipeline needs. Bucket =
+    // first two hex chars of md5(doc_id) -> 0..255 -> mod 100, so the
+    // split is a pure function of the ID — stable across runs, engines,
+    // partitionings and cluster sizes (md5 is cross-engine; Spark's
+    // xxhash64/rand are not). Embarrassingly parallel: no shuffle at
+    // all until the per-(lang, split) count.
+    "q58_stratified_split" -> ((s, dir) => {
+      val bucket = (
+        (expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1))") - 1) * 16 +
+          (expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1))") - 1)
+        ) % 100
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), bucket.cast("long").as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+    }),
+
+    // within-document repetition ratio (the Gopher-rules repetition
+    // signal): fraction of duplicate word bigrams per doc — high values
+    // flag boilerplate/spam for the quality filter. One explode + one
+    // hash aggregate; distinct-bigram count is per-doc, never global.
+    "q59_repetition" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+      val bg = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(trim(lower(col("text"))), "\\s+")))
+        .withColumnRenamed("pos", "_p").withColumnRenamed("col", "_w0")
+        .withColumn("_w1", lead(col("_w0"), 1).over(w))
+        .filter(col("_w1").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("_w0"), col("_w1")).as("bg"))
+      bg.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("bg")).as("n_distinct"))
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams").cast("double"), 6))
     })
   )
 
@@ -140,6 +179,31 @@ object TextOps {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
          count(*) AS cnt, min(doc_id) AS min_doc_id
          FROM documents GROUP BY 1""",
+    "q58_stratified_split" ->
+      """SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, lang,
+             CAST(((instr('0123456789abcdef',
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                 + (instr('0123456789abcdef',
+                      substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100
+               AS BIGINT) AS bucket
+           FROM documents)""",
+    "q59_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         bg AS (
+           SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+           FROM t, LATERAL unnest(range(1, len(ws))) AS u(i)
+           WHERE len(ws) >= 2)
+         SELECT doc_id, count(*) AS n_bigrams,
+           count(DISTINCT bg) AS n_distinct,
+           round(CAST(1.0 AS DOUBLE)
+             - CAST(count(DISTINCT bg) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS rep_ratio
+         FROM bg GROUP BY doc_id""",
     "q53_corpus_pipeline" ->
       s"""WITH uniq AS (
             SELECT d.* FROM documents d
