@@ -45,6 +45,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.local.dir", s"$scratchRoot/spark-local")
       .config("spark.sql.adaptive.enabled", "true")
+      // the synthetic binlog is ~0.5-1 GB/epoch in ~32 snappy files; the
+      // 128 MB default packs that into ~6 scan splits, so the whole
+      // codegen'd map side (scan -> project -> partial LWW agg) runs 6
+      // tasks on 32 cores. A real 100-TB input is never split-starved —
+      // 16 MB here restores the real regime (40+ map tasks/epoch).
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")

@@ -183,9 +183,16 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
 
     val groupDir = s"data/${UUID.randomUUID().toString.take(12)}"
     val cols = stateCols(batchSchemaVersion)
+    // range-partitioned on the bucket value: numBuckets distinct values
+    // into numBuckets partitions lands ~one bucket per task (one writer
+    // core per bucket, one file per bucket dir). Plain hash
+    // `repartition(col("bucket"))` throws 32 values at 32 partitions and
+    // balls-in-bins idles ~1/e of the write-stage cores while others
+    // carry 2-3 buckets — measurably the write-stage straggler at
+    // local[32].
     batch
       .select((cols.map(col) :+ bucketCol): _*)
-      .repartition(col("bucket"))
+      .repartitionByRange(numBuckets, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$root/$groupDir")
 
@@ -324,7 +331,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
       state
         .select((cols.map(col) :+ bucketCol): _*)
-        .repartition(col("bucket"))
+        .repartitionByRange(numBuckets, col("bucket"))
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"$root/$groupDir")
       val wroteFiles = hasParquet(Paths.get(root, groupDir))
@@ -378,7 +385,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
         val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
         state
           .select((cols.map(col) :+ bucketCol): _*)
-          .repartition(col("bucket"))
+          .repartitionByRange(math.max(hot.size, 1), col("bucket"))
           .write.partitionBy("bucket").mode("overwrite")
           .parquet(s"$root/$groupDir")
         val wrote = hasParquet(Paths.get(root, groupDir))

@@ -68,8 +68,8 @@ object ExtraOps {
     // in scipy lfilter form) — sort-within-partitions + streaming fold,
     // O(1) state per key (the round-1 flatMapGroups version buffered the
     // whole per-key series on one task: a hot key at 100x OOMs).
-    // Inherently sequential per key -> no SQL oracle (rows-only driver
-    // check; golden filter values in ToleranceSpec's lfilter tests).
+    // Exact-checked against a recursive-CTE oracle carrying the same
+    // DF2T state (iirOracleSql); golden values in ToleranceSpec too.
     "q42_lowpass" -> ((s, dir) => {
       val (b, a) = graft.functions.IIR.exponential(0.3)
       s.read.parquet(s"$dir/events.parquet")
@@ -83,8 +83,8 @@ object ExtraOps {
     // (the reference's scipy butter+lfilter, point/utils/filters.py:
     // 18-27), coefficient-vector (b, a) design + per-key ordered
     // streaming fold. Golden-value coefficients + response in
-    // ToleranceSpec (scipy-parity butter + lfilter tests); rows-only
-    // driver check (recursion has no SQL form).
+    // ToleranceSpec (scipy-parity butter + lfilter tests); exact-checked
+    // against the DF2T recursive-CTE oracle (iirOracleSql).
     "q46_iir_butterworth" -> ((s, dir) => {
       val (b, a) = graft.functions.IIR.butterLowpass(order = 2, wn = 0.25)
       s.read.parquet(s"$dir/events.parquet")
@@ -141,7 +141,58 @@ object ExtraOps {
     })
   )
 
+  /** DuckDB oracle for the per-key IIR fold: a recursive CTE that
+    * carries the SAME direct-form-II-transposed state (y, z0..z_{n-1})
+    * through the SAME arithmetic in the SAME evaluation order as
+    * IIR.step, with coefficients embedded at 17 significant digits
+    * (exact double round-trip) — so the oracle is BITWISE-equal to the
+    * engine, not merely close: the recursion "has no SQL form" claim
+    * was wrong, it has exactly one.
+    *
+    * DF2T step (z_n treated as 0):  y = b0*x + z0;
+    * z_i' = b_{i+1}*x - a_{i+1}*y + z_{i+1}. `y` inside the z updates is
+    * inlined as (b0*x + z0) — byte-identical both times it is computed,
+    * so no lateral alias reference is needed. */
+  private def iirOracleSql(b: Array[Double], a: Array[Double], outName: String): String = {
+    val n = math.max(b.length, a.length) - 1
+    def lit(d: Double) =
+      String.format(java.util.Locale.ROOT, "CAST(%.17g AS DOUBLE)", Double.box(d))
+    def bi(i: Int) = if (i < b.length) b(i) else 0.0
+    def ai(i: Int) = if (i < a.length) a(i) else 0.0
+    def yExpr(x: String, z0: String) = s"${lit(b(0))} * $x + $z0"
+    def zExpr(i: Int, x: String, y: String, zNext: String) = {
+      val core = s"${lit(bi(i + 1))} * $x - ${lit(ai(i + 1))} * ($y)"
+      if (zNext.isEmpty) core else s"$core + $zNext"
+    }
+    val zCols = (0 until n).map(i => s"z$i")
+    val baseY = yExpr("value", "CAST(0.0 AS DOUBLE)")
+    val baseZ = (0 until n).map(i =>
+      zExpr(i, "value", baseY, if (i + 1 < n) "CAST(0.0 AS DOUBLE)" else ""))
+    val stepY = yExpr("s.value", "f.z0")
+    val stepZ = (0 until n).map(i =>
+      zExpr(i, "s.value", stepY, if (i + 1 < n) s"f.z${i + 1}" else ""))
+    s"""WITH RECURSIVE s AS (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        f(user_id, rn, event_id, y, ${zCols.mkString(", ")}) AS (
+          SELECT user_id, rn, event_id, $baseY, ${baseZ.mkString(", ")}
+          FROM s WHERE rn = 1
+          UNION ALL
+          SELECT s.user_id, s.rn, s.event_id, $stepY, ${stepZ.mkString(", ")}
+          FROM s JOIN f ON s.user_id = f.user_id AND s.rn = f.rn + 1)
+        SELECT user_id, event_id, round(y, 6) AS $outName FROM f"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q42_lowpass" -> {
+      val (b, a) = graft.functions.IIR.exponential(0.3)
+      iirOracleSql(b, a, "smoothed")
+    },
+    "q46_iir_butterworth" -> {
+      val (b, a) = graft.functions.IIR.butterLowpass(order = 2, wn = 0.25)
+      iirOracleSql(b, a, "filtered")
+    },
     "q44_tsv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS cnt,
          round(sum(o_totalprice), 2) AS total

@@ -122,6 +122,30 @@ object TextOps {
             .otherwise("test"))
     }),
 
+    // URL / email scrubbing (the C4/Pile-style PII pass): count and
+    // replace URLs and email addresses with placeholder tokens, then
+    // fingerprint the scrubbed text. The synthetic corpus contains
+    // neither, so the gate deterministically plants one URL and one
+    // email on every third doc FIRST (same expression in the oracle) —
+    // the operator under test is the scrub, not the planting. Patterns
+    // stay in the Java-regex/RE2 common subset so both engines compile
+    // them identically.
+    "q60_scrub" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" see https://ex.org/p/"), col("doc_id"),
+          lit(" or mail u"), col("doc_id"), lit("@ex.org now")))
+        .otherwise(col("text"))
+      val urlRe = "https?://[^ ]+"
+      val mailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      docs(s, dir)
+        .select(col("doc_id"), planted.as("_t"))
+        .select(col("doc_id"),
+          regexp_count(col("_t"), lit(urlRe)).cast("long").as("n_urls"),
+          regexp_count(col("_t"), lit(mailRe)).cast("long").as("n_emails"),
+          md5(regexp_replace(regexp_replace(col("_t"), urlRe, "<URL>"),
+            mailRe, "<EMAIL>")).as("scrubbed_md5"))
+    }),
+
     // within-document repetition ratio (the Gopher-rules repetition
     // signal): fraction of duplicate word bigrams per doc — high values
     // flag boilerplate/spam for the quality filter. One explode + one
@@ -191,6 +215,22 @@ object TextOps {
                       substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100
                AS BIGINT) AS bucket
            FROM documents)""",
+    "q60_scrub" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN text || ' see https://ex.org/p/' || doc_id
+                    || ' or mail u' || doc_id || '@ex.org now'
+               ELSE text END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           md5(regexp_replace(
+             regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
+         FROM p""",
     "q59_repetition" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
