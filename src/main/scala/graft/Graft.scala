@@ -401,6 +401,22 @@ object Graft {
       labels
     }
 
+    /** One-call fuzzy dedup: MinHash-LSH near-dup candidate pairs ->
+      * connected components -> drop every doc that is not its cluster's
+      * minimum id. Transitive chains (A~B, B~C, A!~C) collapse to one
+      * kept doc; docs in no pair pass through untouched. All input
+      * columns are retained; the removal join is a left_anti on the
+      * loser-id set (O(losers), broadcastable when small). */
+    def dedupNearDuplicates(keyCol: String, textCol: String, k: Int = 16,
+        bands: Int = 4, minSim: Double = 0.5): DataFrame = {
+      val losers = df
+        .minhashCandidatePairs(keyCol, textCol, k, bands, minSim)
+        .connectedComponents(s"${keyCol}_a", s"${keyCol}_b")
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as(keyCol))
+      df.join(losers, Seq(keyCol), "left_anti")
+    }
+
     /** Brute-force cosine top-k neighbors of each row in `queries`
       * (broadcast) — native codegen CosineSimilarity kernel. Inputs
       * need (idCol, vecCol) on both sides. */

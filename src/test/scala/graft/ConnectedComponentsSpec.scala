@@ -67,4 +67,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("empty edge list returns an empty frame") {
     assert(cc(Seq.empty).isEmpty)
   }
+
+  test("dedupNearDuplicates keeps one doc per near-dup cluster, passes singletons") {
+    // three exact-ish families (identical text => jaccard 1.0 across
+    // every minhash band) + two distinct singletons
+    val mk = (id: Long, seed: Int) =>
+      (id, (0 until 40).map(i => s"w${(i * seed) % 97}").mkString(" "))
+    val docsDf = (Seq(mk(1L, 3), mk(2L, 3), mk(3L, 3), // cluster min 1
+      mk(10L, 5), mk(11L, 5), // cluster min 10
+      mk(20L, 7), mk(30L, 11))) // singletons
+      .toDF("doc_id", "text")
+    val kept = docsDf.dedupNearDuplicates("doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L, 30L))
+  }
 }
