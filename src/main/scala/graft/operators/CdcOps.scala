@@ -36,6 +36,37 @@ object CdcOps {
           count(lit(1)).as("rows_in_epoch"))
     }),
 
+    // incremental change read (the Iceberg incremental-scan analogue,
+    // gating Graft.readTableChanges end-to-end): deterministically fold
+    // the events table into a lake table as 3 LWW epochs (epoch =
+    // lsn % 3, applied in order), then read ONLY the changes the third
+    // epoch committed — per-key LWW survivors of that epoch's slice,
+    // O(changed rows), no full-table diff. The scratch table is rebuilt
+    // from scratch every run (a stale table from an older code version
+    // must not leak into the gate).
+    "q61_incremental_changes" -> ((s, dir) => {
+      import graft.cdc.{Apply, LakeTable}
+      val scratch = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-incr-${java.lang.Integer.toHexString(dir.hashCode)}").toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+      val env = ev(s, dir).select(
+        lit("U").as("op"), col("event_id").as("lsn"),
+        col("ts").cast("timestamp").as("ts"), lit(1).as("schemaVersion"),
+        concat(lit("r"), (col("user_id") % 10).cast("string")).as("repo"),
+        concat(lit("p"), col("user_id").cast("string")).as("path"),
+        lit(null).cast("string").as("before"),
+        to_json(struct(
+          lit("c0").as("commit"), lit("en").as("lang"),
+          concat(lit("v"), col("event_id").cast("string")).as("content"))).as("after"))
+      val table = new LakeTable(scratch)
+      (0 until 3).foreach(e =>
+        Apply.applyEpoch(s, table, env.filter(pmod(col("lsn"), lit(3)) === e),
+          e.toLong, versionHint = Some(1)))
+      table.readChanges(s, sinceVersion = 2, toVersion = 3)
+        .select(col("repo"), col("path"), col("lsn"), col("content"))
+    }),
+
     // ordered linear interpolation: value at each event re-estimated
     // from its per-key neighbors (lag/lead arithmetic — the
     // time_1d_interpolation analogue, InterpolatorCore.py:87-130)
@@ -62,6 +93,18 @@ object CdcOps {
                     THEN 1 ELSE 0 END AS new_sess
              FROM events))
          GROUP BY user_id, sess_id""",
+    // the fold is deterministic: epoch-3 changes = per-key max-lsn
+    // survivor of the event_id % 3 = 2 slice
+    "q61_incremental_changes" ->
+      """SELECT repo, path, lsn, content FROM (
+           SELECT 'r' || CAST(user_id % 10 AS VARCHAR) AS repo,
+                  'p' || CAST(user_id AS VARCHAR) AS path,
+                  event_id AS lsn,
+                  'v' || CAST(event_id AS VARCHAR) AS content,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_id % 3 = 2)
+         WHERE rn = 1""",
     "q32_lineage_ranges" ->
       """SELECT CAST(floor(event_id / 100.0) AS BIGINT) AS epoch,
          min(event_id) AS min_lsn, max(event_id) AS max_lsn,
