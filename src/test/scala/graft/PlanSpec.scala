@@ -102,6 +102,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q58 stratified split is shuffle-free; q56 rotation is one codegen stage") {
+    // the split claim is "embarrassingly parallel, stable at any
+    // cluster size" — assert no exchange of any kind in the plan
+    val p58 = planOf(SparkEntry.queries("q58_stratified_split")(spark, sf))
+    assert(!p58.toLowerCase.contains("exchange"),
+      s"q58 plan shuffles:\n${p58.take(1500)}")
+    val p56 = planOf(SparkEntry.queries("q56_vector_rotate")(spark, sf))
+    assert(!p56.toLowerCase.contains("exchange"),
+      s"q56 plan shuffles:\n${p56.take(1500)}")
+    assert(p56.contains("*("), "q56 not in whole-stage codegen")
+  }
+
   test("q39 approx distinct within 5% of exact") {
     val approx = SparkEntry.queries("q39_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
