@@ -87,6 +87,22 @@ object Profile {
             .queryExecution.logical).executedPlan.toString.linesIterator.filter(l =>
               l.contains("Aggregate")).mkString(" | "))
 
+      // replay-path stage split over PRE-MATERIALIZED segments (the
+      // exact bench hot path): scan | +reduce | +normalize | full epoch
+      case "replay" =>
+        val logDir = args(1)
+        val seg = args.lift(2).getOrElse("seg-00000")
+        val log = spark.read.schema(Pipeline.envelopeSchema).parquet(s"$logDir/$seg")
+        val dir = java.nio.file.Files.createTempDirectory("prof-rep").toString
+        (1 to 2).foreach { round =>
+          time(s"scan only [$round]")(noop(log))
+          time(s"scan+reduce [$round]")(noop(Apply.reduce(log)))
+          time(s"scan+reduce+normalize [$round]")(
+            noop(Apply.normalize(Apply.reduce(log), 4)))
+          val t = new LakeTable(s"$dir/t$round")
+          time(s"full applyEpoch [$round]")(Apply.applyEpoch(spark, t, log, 0L))
+        }
+
       case "cdc" =>
         val events = args(1).toLong
         val cfg = GenConfig(numEvents = events, numRepos = 5000L, pathsPerRepo = 100L)

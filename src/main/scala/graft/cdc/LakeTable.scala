@@ -189,12 +189,18 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     // `repartition(col("bucket"))` throws 32 values at 32 partitions and
     // balls-in-bins idles ~1/e of the write-stage cores while others
     // carry 2-3 buckets — measurably the write-stage straggler at
-    // local[32].
-    batch
-      .select((cols.map(col) :+ bucketCol): _*)
-      .repartitionByRange(numBuckets, col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$root/$groupDir")
+    // local[32]. The reduced batch is persisted first because the range
+    // partitioner SAMPLES ITS CHILD: unpersisted, the boundary-sketch
+    // job re-runs every post-shuffle stage of the apply pipeline
+    // (~+20% per epoch measured); cached, it reads O(keys) rows back.
+    val withBucket = batch.select((cols.map(col) :+ bucketCol): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      withBucket
+        .repartitionByRange(numBuckets, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$root/$groupDir")
+    } finally withBucket.unpersist(blocking = false)
 
     // an empty epoch still advances the commit high-water mark, but a
     // file-less group must not be referenced (unreadable schema)
@@ -329,11 +335,16 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       // compaction rewrites at the current registry schema regardless of
       // the eras the deltas were written under
       val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
-      state
-        .select((cols.map(col) :+ bucketCol): _*)
-        .repartitionByRange(numBuckets, col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$root/$groupDir")
+      // persist before the range exchange: the boundary sketch would
+      // otherwise re-run the full merge-on-read read (see upsert)
+      val withBucket = state.select((cols.map(col) :+ bucketCol): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        withBucket
+          .repartitionByRange(numBuckets, col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$root/$groupDir")
+      } finally withBucket.unpersist(blocking = false)
       val wroteFiles = hasParquet(Paths.get(root, groupDir))
       commitManifest(Snapshot(
         s.version + 1L, s.epochId, s.schemaVersion,
@@ -383,11 +394,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
           .withColumn("op", lit("U"))
         val groupDir = s"data/${UUID.randomUUID().toString.take(12)}-base"
         val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
-        state
-          .select((cols.map(col) :+ bucketCol): _*)
-          .repartitionByRange(math.max(hot.size, 1), col("bucket"))
-          .write.partitionBy("bucket").mode("overwrite")
-          .parquet(s"$root/$groupDir")
+        val withBucket = state.select((cols.map(col) :+ bucketCol): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          withBucket
+            .repartitionByRange(math.max(hot.size, 1), col("bucket"))
+            .write.partitionBy("bucket").mode("overwrite")
+            .parquet(s"$root/$groupDir")
+        } finally withBucket.unpersist(blocking = false)
         val wrote = hasParquet(Paths.get(root, groupDir))
 
         val kept = live.flatMap { case (g, liveBuckets) =>
