@@ -33,6 +33,12 @@ object Graft {
   def readTable(spark: SparkSession, tableDir: String): DataFrame =
     new LakeTable(tableDir).read(spark)
 
+  /** Point lookup of one key: partition-prunes to the key's single
+    * hash bucket (1/numBuckets of the files at any table size). */
+  def readTableKey(spark: SparkSession, tableDir: String,
+      repo: String, path: String): DataFrame =
+    new LakeTable(tableDir).readKey(spark, repo, path)
+
   /** Incremental change read: the reduced change rows (op/lsn/ts +
     * payload, tombstones included) committed in (sinceVersion,
     * toVersion] — tail the table itself as a change source and chain

@@ -250,6 +250,21 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   def readVersion(spark: SparkSession, version: Long): DataFrame =
     readAt(spark, snapshotAt(version))
 
+  /** O(one-bucket) point lookup of a single key: the key's bucket is
+    * derived DRIVER-SIDE with the same xxhash64(seed=42) the writers
+    * use, so the scan partition-prunes to `bucket=<b>` directories —
+    * 1/numBuckets of the table's files regardless of table size (the
+    * Iceberg bucket-transform point-read analogue; at 10^8 keys this is
+    * the difference between a key-serving read and a table scan). */
+  def readKey(spark: SparkSession, repo: String, path: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(repo), Literal(path)), 42L)
+      .eval(null).asInstanceOf[Long]
+    val b = (((h % numBuckets) + numBuckets) % numBuckets).toInt
+    readAt(spark, latest(), onlyBuckets = Some(Set(b)))
+      .filter(col("repo") === repo && col("path") === path)
+  }
+
   private def readAt(spark: SparkSession, snapshot: Option[Snapshot],
       onlyBuckets: Option[Set[Int]] = None): DataFrame = {
     val payload = SchemaRegistry.currentPayloadNames

@@ -15,6 +15,35 @@ object CdcOps {
   private def ev(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
 
+  /** Deterministically fold the events table into a scratch lake table
+    * as three LWW epochs (epoch = lsn % 3, applied in order, footer-
+    * stats version hint) — the shared fixture behind the incremental-
+    * read (q61) and time-travel (q62) gates. The scratch is rebuilt
+    * from scratch every run: a stale table from an older code version
+    * must not leak into a gate. */
+  private def foldEventsToLake(s: SparkSession, dir: String,
+      tag: String): graft.cdc.LakeTable = {
+    import graft.cdc.{Apply, LakeTable}
+    val scratch = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-$tag-${java.lang.Integer.toHexString(dir.hashCode)}").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    val env = ev(s, dir).select(
+      lit("U").as("op"), col("event_id").as("lsn"),
+      col("ts").cast("timestamp").as("ts"), lit(1).as("schemaVersion"),
+      concat(lit("r"), (col("user_id") % 10).cast("string")).as("repo"),
+      concat(lit("p"), col("user_id").cast("string")).as("path"),
+      lit(null).cast("string").as("before"),
+      to_json(struct(
+        lit("c0").as("commit"), lit("en").as("lang"),
+        concat(lit("v"), col("event_id").cast("string")).as("content"))).as("after"))
+    val table = new LakeTable(scratch)
+    (0 until 3).foreach(e =>
+      Apply.applyEpoch(s, table, env.filter(pmod(col("lsn"), lit(3)) === e),
+        e.toLong, versionHint = Some(1)))
+    table
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // sessionization: gap > 30 min starts a new session (lag + cumulative
     // sum over an ordered per-key window — single shuffle on user_id)
@@ -45,25 +74,19 @@ object CdcOps {
     // from scratch every run (a stale table from an older code version
     // must not leak into the gate).
     "q61_incremental_changes" -> ((s, dir) => {
-      import graft.cdc.{Apply, LakeTable}
-      val scratch = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft-incr-${java.lang.Integer.toHexString(dir.hashCode)}").toString
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
-      val env = ev(s, dir).select(
-        lit("U").as("op"), col("event_id").as("lsn"),
-        col("ts").cast("timestamp").as("ts"), lit(1).as("schemaVersion"),
-        concat(lit("r"), (col("user_id") % 10).cast("string")).as("repo"),
-        concat(lit("p"), col("user_id").cast("string")).as("path"),
-        lit(null).cast("string").as("before"),
-        to_json(struct(
-          lit("c0").as("commit"), lit("en").as("lang"),
-          concat(lit("v"), col("event_id").cast("string")).as("content"))).as("after"))
-      val table = new LakeTable(scratch)
-      (0 until 3).foreach(e =>
-        Apply.applyEpoch(s, table, env.filter(pmod(col("lsn"), lit(3)) === e),
-          e.toLong, versionHint = Some(1)))
-      table.readChanges(s, sinceVersion = 2, toVersion = 3)
+      foldEventsToLake(s, dir, "incr")
+        .readChanges(s, sinceVersion = 2, toVersion = 3)
+        .select(col("repo"), col("path"), col("lsn"), col("content"))
+    }),
+
+    // time-travel read (Iceberg VERSION AS OF analogue, gating
+    // Graft/LakeTable.readVersion): the same 3-epoch fold, read AS OF
+    // the second commit — per-key LWW state over the first two slices
+    // only, reconstructed purely from the manifest history (the third
+    // epoch's files are present on disk but invisible at version 2)
+    "q62_time_travel" -> ((s, dir) => {
+      foldEventsToLake(s, dir, "tt")
+        .readVersion(s, version = 2)
         .select(col("repo"), col("path"), col("lsn"), col("content"))
     }),
 
@@ -104,6 +127,17 @@ object CdcOps {
                   row_number() OVER (PARTITION BY user_id
                                      ORDER BY event_id DESC) AS rn
            FROM events WHERE event_id % 3 = 2)
+         WHERE rn = 1""",
+    // version 2 = epochs 0+1 committed: LWW over the first two slices
+    "q62_time_travel" ->
+      """SELECT repo, path, lsn, content FROM (
+           SELECT 'r' || CAST(user_id % 10 AS VARCHAR) AS repo,
+                  'p' || CAST(user_id AS VARCHAR) AS path,
+                  event_id AS lsn,
+                  'v' || CAST(event_id AS VARCHAR) AS content,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_id % 3 IN (0, 1))
          WHERE rn = 1""",
     "q32_lineage_ranges" ->
       """SELECT CAST(floor(event_id / 100.0) AS BIGINT) AS epoch,
