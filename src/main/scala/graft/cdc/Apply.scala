@@ -126,8 +126,11 @@ object Apply {
     // makes them visible
     val prevMaxLsn = table.latest().map(_.maxLsn).getOrElse(-1L)
     val obs = org.apache.spark.sql.Observation(s"graft-epoch-$epochId-${System.nanoTime()}")
+    // per-row schemaVersion is dead weight past this point (the batch
+    // normalizes at the scalar batchVersion) — drop it BEFORE the
+    // reduce so it never rides the shuffle or the max_by struct buffer
     val envelope = rawEvents
-      .select("repo", "path", "op", "lsn", "ts", "schemaVersion", "after")
+      .select("repo", "path", "op", "lsn", "ts", "after")
       .observe(obs,
         min(col("lsn")).as("min_lsn"),
         max(col("lsn")).as("max_lsn"),

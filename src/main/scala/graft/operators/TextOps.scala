@@ -146,6 +146,23 @@ object TextOps {
             mailRe, "<EMAIL>")).as("scrubbed_md5"))
     }),
 
+    // per-language token-count distribution (exact interpolated
+    // percentiles — the corpus-analysis step that sizes context windows
+    // and flags truncation): Spark `percentile` and DuckDB
+    // `quantile_cont` share the same linear-interpolation definition,
+    // so the gate is exact. At 100 TB swap `percentile` for
+    // `approx_percentile` (t-digest) — same call shape, bounded memory.
+    "q63_token_percentiles" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), tokenCount(col("text")).cast("double").as("_t"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(expr("percentile(_t, 0.5)"), 4).as("p50"),
+          round(expr("percentile(_t, 0.9)"), 4).as("p90"),
+          round(expr("percentile(_t, 0.99)"), 4).as("p99"))
+    }),
+
     // within-document repetition ratio (the Gopher-rules repetition
     // signal): fraction of duplicate word bigrams per doc — high values
     // flag boilerplate/spam for the quality filter. One explode + one
@@ -231,6 +248,15 @@ object TextOps {
              regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g'),
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
          FROM p""",
+    "q63_token_percentiles" ->
+      """SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(t, 0.5), 4) AS p50,
+           round(quantile_cont(t, 0.9), 4) AS p90,
+           round(quantile_cont(t, 0.99), 4) AS p99
+         FROM (SELECT lang,
+             CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) AS t
+           FROM documents)
+         GROUP BY lang""",
     "q59_repetition" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
