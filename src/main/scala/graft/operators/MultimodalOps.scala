@@ -59,7 +59,9 @@ object MultimodalOps {
     }),
 
     // the stubbed decode/feature pipeline over the typed binary Dataset
-    // (rows-only driver check; golden-value spec in MultimodalSpec)
+    // (rows-only driver check; MultimodalSpec pins the stub's golden
+    // values and checks the distributed pipeline row-for-row against a
+    // driver-side recomputation)
     "q35_multimodal_features" -> ((s, dir) => {
       import s.implicits._
       val media = s.read.parquet(s"$dir/documents.parquet")
