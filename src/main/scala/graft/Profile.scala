@@ -97,6 +97,12 @@ object Profile {
         (1 to 2).foreach { round =>
           time(s"scan only [$round]")(noop(log))
           time(s"scan+reduce [$round]")(noop(Apply.reduce(log)))
+          // partial-agg bypass experiment: pre-partitioned child ->
+          // Spark plans ONE complete-mode hash agg (no map-side pass)
+          time(s"scan+reduce complete-mode [$round]") {
+            val pre = log.repartition(col("repo"), col("path"))
+            noop(Apply.reduce(pre))
+          }
           time(s"scan+reduce+normalize [$round]")(
             noop(Apply.normalize(Apply.reduce(log), 4)))
           val t = new LakeTable(s"$dir/t$round")
