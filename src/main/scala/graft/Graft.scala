@@ -238,6 +238,11 @@ object Graft {
         leftX: String, rightX: String, delta: Double): DataFrame = {
       require(!df.columns.contains("_tbin") && !right.columns.contains("_tbin"),
         "bandedToleranceJoin reserves the column name _tbin")
+      val shared = (df.columns.toSet & right.columns.toSet) -- keyCols
+      require(shared.isEmpty,
+        "bandedToleranceJoin: columns other than the join keys must be " +
+          s"disjoint across the two sides (rename before joining); shared: " +
+          shared.toSeq.sorted.mkString(", "))
       def bin(c: Column) = floor(c / lit(delta)).cast("long")
       val l = df.withColumn("_tbin",
         explode(array(bin(col(leftX)) - 1, bin(col(leftX)), bin(col(leftX)) + 1)))
@@ -384,25 +389,40 @@ object Graft {
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIter) {
-        // (1) propagate the min label across edges
+        // (1) propagate the min label across edges. The previous label
+        // rides along (as `_old`: present exactly once per node, on the
+        // self row of the union) so convergence is observable in pass
+        // (2) without a separate join+count job per round.
         val prop = Materialize.loopState(edges
           .join(labels.select(col("node").as("_ca"), col("component")), "_ca")
-          .select(col("_cb").as("node"), col("component"))
-          .union(labels)
-          .groupBy(col("node")).agg(min(col("component")).as("component")))
-        // (2) pointer-jump: compress label through its own label
+          .select(col("_cb").as("node"), col("component"),
+            lit(null).cast(labels.schema("component").dataType).as("_old"))
+          .union(labels.withColumn("_old", col("component")))
+          .groupBy(col("node")).agg(min(col("component")).as("component"),
+            max(col("_old")).as("_old")))
+        // (2) pointer-jump: compress label through its own label; the
+        // changed-label count is collected by observe() DURING the same
+        // materialization action — no extra job for convergence.
+        val obs = org.apache.spark.sql.Observation()
         val next = Materialize.loopState(prop
           .join(prop.select(col("node").as("_jn"), col("component").as("_jc")),
             col("component") === col("_jn"), "left")
-          .select(col("node"), coalesce(col("_jc"), col("component")).as("component")))
-        changed = next
-          .join(labels.select(col("node"), col("component").as("_old")), "node")
-          .filter(col("component") =!= col("_old")).count()
+          .select(col("node"), coalesce(col("_jc"), col("component")).as("component"),
+            col("_old"))
+          .observe(obs, sum(when(col("component") =!= col("_old"), 1L).otherwise(0L))
+            .as("changed"))
+          .drop("_old"))
+        changed = obs.get.get("changed").collect { case l: Long => l }.getOrElse(0L)
         labels.unpersist()
         prop.unpersist()
         labels = next
         iter += 1
       }
+      if (changed > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            s"($changed labels still changing) — returned labels may merge " +
+            "incompletely; raise maxIter")
       edges.unpersist()
       labels
     }

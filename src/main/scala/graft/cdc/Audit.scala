@@ -89,9 +89,56 @@ final class Audit(val dir: String) {
         .withColumn("snapshot_version", lit(snapshotVersion))
         .withColumn("schema_version", lit(stats.batchSchemaVersion))
         .withColumn("wall_ms", lit(stats.wallMs))
+        // one file per epoch IS the minimal append (O(buckets) rows);
+        // the file-count growth over a long replay is bounded by
+        // compactAsync below, not by fanning the append out
         .coalesce(1)
         .write.mode("append").parquet(dir)
     }
+  }
+
+  /** Opportunistic audit-side compaction (the expireSnapshots analogue
+    * for the lineage table): when the audit dir has accumulated more
+    * than `maxFiles` parquet files — a 10^5-epoch replay would
+    * otherwise leave 10^5 tiny files — rewrite the current files into
+    * one and delete them. Runs on the same single worker thread as the
+    * appends, so it never races a recordAsync; readers hold the
+    * single-writer contract the lake's vacuum already states.
+    * Trigger it alongside table compaction (Pipeline does). */
+  def compactAsync(spark: SparkSession, maxFiles: Int = 64): Unit = {
+    worker.submit(new Runnable {
+      def run(): Unit =
+        try compactNow(spark, maxFiles)
+        catch { case t: Throwable => pending.compareAndSet(null, t) }
+    })
+    ()
+  }
+
+  private def compactNow(spark: SparkSession, maxFiles: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val files = scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
+      st.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    }
+    if (files.size <= maxFiles) return
+    val tmp = s"$dir-compact-tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    // read exactly the snapshot of files taken above (not the dir — a
+    // concurrent append queued behind this job must not be absorbed
+    // then deleted); mergeSchema spans engine versions, as in read()
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .coalesce(1).write.parquet(tmp)
+    val moved = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { st =>
+      st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    }
+    moved.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f,
+        root.resolve(s"compacted-${System.nanoTime()}-$i.parquet"))
+    }
+    files.foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
   // mergeSchema: an audit dir may span engine versions that added

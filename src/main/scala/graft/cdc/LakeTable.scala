@@ -33,7 +33,12 @@ final case class Snapshot(
     totalDeltaGroups: Int,
     // high-water mark of applied event LSNs — lets the next epoch count
     // late arrivals (events at or below it) without scanning the table
-    maxLsn: Long = -1L)
+    maxLsn: Long = -1L,
+    // the table's bucket-partition count, persisted like Iceberg's
+    // bucket transform: readers/writers constructed with a different
+    // default must still hash keys into the buckets the data was
+    // actually written with, or point lookups prune to the wrong dir
+    numBuckets: Int = 32)
 
 /** Result of an upsert: whether the epoch committed (false = idempotent
   * replay skip) and the file group it appended (None for an empty
@@ -129,7 +134,9 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       node.get("schemaVersion").asInt(),
       groups,
       groups.count(_.kind == "delta"),
-      if (node.has("maxLsn")) node.get("maxLsn").asLong() else -1L)
+      if (node.has("maxLsn")) node.get("maxLsn").asLong() else -1L,
+      // legacy manifests (pre-persistence) trust the constructor default
+      if (node.has("numBuckets")) node.get("numBuckets").asInt() else numBuckets)
   }
 
   /** Atomically commit a snapshot manifest (write tmp + ATOMIC_MOVE —
@@ -141,6 +148,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     obj.put("epochId", s.epochId)
     obj.put("schemaVersion", s.schemaVersion)
     obj.put("maxLsn", s.maxLsn)
+    obj.put("numBuckets", s.numBuckets)
     val arr: ArrayNode = obj.putArray("groups")
     s.groups.foreach { g =>
       val gn = arr.addObject()
@@ -157,8 +165,17 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
 
   // ---- columns ------------------------------------------------------
 
+  /** The table's effective bucket count: the value persisted in the
+    * manifest once the first commit exists (the Iceberg bucket-transform
+    * analogue — a reader constructed with any default must hash into the
+    * buckets the data was written with), else the constructor's. */
+  def bucketCount: Int = latest().map(_.numBuckets).getOrElse(numBuckets)
+
   /** Hash bucket of the key — MUST match across writers and eras. */
-  def bucketCol = pmod(xxhash64(col("repo"), col("path")), lit(numBuckets.toLong)).as("bucket")
+  def bucketCol: org.apache.spark.sql.Column = bucketColFor(bucketCount)
+
+  private def bucketColFor(nb: Int) =
+    pmod(xxhash64(col("repo"), col("path")), lit(nb.toLong)).as("bucket")
 
   private def stateCols(schemaVersion: Int): Seq[String] = {
     val payload = SchemaRegistry.physicalSchema(schemaVersion).fieldNames.toSeq
@@ -183,6 +200,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
 
     val groupDir = s"data/${UUID.randomUUID().toString.take(12)}"
     val cols = stateCols(batchSchemaVersion)
+    // bucket with the table's committed bucket count, not the instance
+    // default — a writer opened with a different numBuckets must not
+    // scatter keys across a second bucketing scheme
+    val nb = prev.map(_.numBuckets).getOrElse(numBuckets)
     // range-partitioned on the bucket value: numBuckets distinct values
     // into numBuckets partitions lands ~one bucket per task (one writer
     // core per bucket, one file per bucket dir). Plain hash
@@ -193,11 +214,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     // partitioner SAMPLES ITS CHILD: unpersisted, the boundary-sketch
     // job re-runs every post-shuffle stage of the apply pipeline
     // (~+20% per epoch measured); cached, it reads O(keys) rows back.
-    val withBucket = batch.select((cols.map(col) :+ bucketCol): _*)
+    val withBucket = batch.select((cols.map(col) :+ bucketColFor(nb)): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       withBucket
-        .repartitionByRange(numBuckets, col("bucket"))
+        .repartitionByRange(nb, col("bucket"))
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"$root/$groupDir")
     } finally withBucket.unpersist(blocking = false)
@@ -213,7 +234,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     commitManifest(Snapshot(
       prev.map(_.version).getOrElse(0L) + 1L, epochId, newSchemaVersion, groups,
       groups.count(_.kind == "delta"),
-      math.max(prev.map(_.maxLsn).getOrElse(-1L), batchMaxLsn)))
+      math.max(prev.map(_.maxLsn).getOrElse(-1L), batchMaxLsn), nb))
     CommitResult(committed = true, written)
   }
 
@@ -258,10 +279,15 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     * the difference between a key-serving read and a table scan). */
   def readKey(spark: SparkSession, repo: String, path: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val snap = latest()
+    // derive the bucket with the MANIFEST's bucket count: a reader
+    // constructed with a different default would prune to the wrong
+    // directory and silently miss existing rows
+    val nb = snap.map(_.numBuckets).getOrElse(numBuckets)
     val h = XxHash64(Seq(Literal(repo), Literal(path)), 42L)
       .eval(null).asInstanceOf[Long]
-    val b = (((h % numBuckets) + numBuckets) % numBuckets).toInt
-    readAt(spark, latest(), onlyBuckets = Some(Set(b)))
+    val b = (((h % nb) + nb) % nb).toInt
+    readAt(spark, snap, onlyBuckets = Some(Set(b)))
       .filter(col("repo") === repo && col("path") === path)
   }
 
@@ -352,11 +378,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
       // persist before the range exchange: the boundary sketch would
       // otherwise re-run the full merge-on-read read (see upsert)
-      val withBucket = state.select((cols.map(col) :+ bucketCol): _*)
+      val withBucket = state.select((cols.map(col) :+ bucketColFor(s.numBuckets)): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         withBucket
-          .repartitionByRange(numBuckets, col("bucket"))
+          .repartitionByRange(s.numBuckets, col("bucket"))
           .write.partitionBy("bucket").mode("overwrite")
           .parquet(s"$root/$groupDir")
       } finally withBucket.unpersist(blocking = false)
@@ -364,7 +390,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       commitManifest(Snapshot(
         s.version + 1L, s.epochId, s.schemaVersion,
         if (wroteFiles) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil, 0,
-        s.maxLsn))
+        s.maxLsn, s.numBuckets))
     }
   }
 
@@ -409,7 +435,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
           .withColumn("op", lit("U"))
         val groupDir = s"data/${UUID.randomUUID().toString.take(12)}-base"
         val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
-        val withBucket = state.select((cols.map(col) :+ bucketCol): _*)
+        val withBucket = state.select((cols.map(col) :+ bucketColFor(s.numBuckets)): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           withBucket
@@ -427,7 +453,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
           (if (wrote) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil)
         commitManifest(Snapshot(
           s.version + 1L, s.epochId, s.schemaVersion, groups,
-          groups.count(_.kind == "delta"), s.maxLsn))
+          groups.count(_.kind == "delta"), s.maxLsn, s.numBuckets))
         hot
     }
   }

@@ -63,8 +63,12 @@ object Pipeline {
       // incremental: only buckets with >= compactEvery live delta groups
       // rewrite (deltaGroupCount >= threshold is a cheap necessary
       // condition — per-bucket counts never exceed the group count)
-      if (compactEvery > 0 && table.deltaGroupCount >= compactEvery)
+      if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) {
         table.compactBuckets(spark, compactEvery)
+        // same cadence for the lineage side table: audit file count
+        // stays O(compactions), not O(epochs), over a long replay
+        audit.foreach(_.compactAsync(spark))
+      }
       stats
     }
     audit.foreach(_.flush())
@@ -201,8 +205,10 @@ object Pipeline {
           sourceBatchFiles(batch.sparkSession, checkpointDir, epochId), "schemaVersion")
         Apply.applyEpoch(batch.sparkSession, table, batch, epochId, audit,
           versionHint = hint)
-        if (compactEvery > 0 && table.deltaGroupCount >= compactEvery)
+        if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) {
           table.compactBuckets(batch.sparkSession, compactEvery)
+          audit.foreach(_.compactAsync(batch.sparkSession))
+        }
         failAfterEpoch.foreach { f =>
           if (epochId == f) throw new RuntimeException(s"injected failure after epoch $f commit")
         }

@@ -24,9 +24,7 @@ object CdcOps {
   private def foldEventsToLake(s: SparkSession, dir: String,
       tag: String): graft.cdc.LakeTable = {
     import graft.cdc.{Apply, LakeTable}
-    val scratch = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft-$tag-${java.lang.Integer.toHexString(dir.hashCode)}").toString
+    val scratch = graft.Scratch.dirFor(tag, dir)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
     val env = ev(s, dir).select(
       lit("U").as("op"), col("event_id").as("lsn"),

@@ -124,12 +124,10 @@ object ExtraOps {
     // with an explicit schema, aggregate — must equal aggregating the
     // original table
     "q44_tsv_roundtrip" -> ((s, dir) => {
-      // fixed per-input scratch dir, overwritten each run — a
-      // createTempDirectory here leaked one dir per invocation across
-      // repeated gate/bench runs
-      val tmp = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft-tsv-${java.lang.Integer.toHexString(dir.hashCode)}").toString
+      // fixed per-input scratch dir (md5-keyed, collision-resistant),
+      // overwritten each run — a createTempDirectory here leaked one
+      // dir per invocation across repeated gate/bench runs
+      val tmp = graft.Scratch.dirFor("tsv", dir)
       s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.mode("overwrite").option("sep", "\t").option("header", "true").csv(tmp)

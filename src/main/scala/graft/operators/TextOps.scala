@@ -74,10 +74,13 @@ object TextOps {
     // against DuckDB.
     "q53_corpus_pipeline" -> ((s, dir) => {
       import graft.Graft._
-      val uniq = docs(s, dir).join(
-        docs(s, dir).groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
-          .select("doc_id"),
-        Seq("doc_id"), "left_semi")
+      import org.apache.spark.sql.expressions.Window
+      // keep-first per content hash as ONE window pass — the semi-join
+      // formulation read documents twice (one extra full scan at 100 TB)
+      val uniq = docs(s, dir)
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("_rn") === 1).drop("_rn")
       val scored = uniq
         .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
         .withColumn("quality", qualityScore(col("text")))

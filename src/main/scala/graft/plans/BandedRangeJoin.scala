@@ -100,8 +100,13 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       Some(x => new IntegralDivide(UnixMicros(x), w))
     case TimestampNTZType =>
       val w = Literal(math.max(math.ceil(d).toLong, 1L))
+      // fixed UTC zone, NOT the session zone: NTZ residuals evaluate in
+      // wall-clock space, and a DST-observing session zone folds an hour
+      // at fall-back — two rows within tolerance straddling the
+      // transition would land >1 bin apart and be silently dropped. UTC
+      // keeps the bin affine to the wall-clock residual at all times.
       Some(x => new IntegralDivide(
-        UnixMicros(Cast(x, TimestampType, Some(conf.sessionLocalTimeZone))), w))
+        UnixMicros(Cast(x, TimestampType, Some("UTC"))), w))
     case _ => None // DecimalType etc. — see scaladoc
   }
 

@@ -169,6 +169,33 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("NTZ operands bin in wall-clock space: no row loss across a DST fall-back") {
+    import spark.implicits._
+    // America/New_York 2024-11-03: 02:00 EDT falls back to 01:00 EST.
+    // NTZ residuals evaluate in wall-clock space; binning via the
+    // SESSION zone maps wall clocks to instants, which jump by an hour
+    // across the transition — pairs within tolerance straddling it land
+    // >1 bin apart and silently drop. The bin must use a FIXED zone.
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      // wall-clock minutes 00:00..04:00 on the transition night
+      def mk(min: Seq[Int]) = min.map(m => f"2024-11-03 ${m / 60}%02d:${m % 60}%02d:00")
+        .toDF("s").select(col("s").cast("timestamp_ntz").as("t"))
+      def l = mk(0 until 240 by 7).select(col("t").as("lt"))
+      def r = mk(0 until 240 by 11).select(col("t").as("rt"))
+      def q = l.join(r, abs(col("lt") - col("rt")) <= expr("INTERVAL 30 MINUTES"))
+      val baseline = q.count()
+      assert(baseline > 0)
+      withRule {
+        val fresh = q
+        val plan = fresh.queryExecution.executedPlan.toString
+        assert(plan.contains("_graft_bin"), s"rule did not fire on NTZ:\n${plan.take(1500)}")
+        assert(fresh.count() == baseline,
+          "NTZ banding dropped rows across the DST transition")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("d >= abs(...) flipped form and non-positive tolerances") {
     val q = probes.as("p").join(events.as("e"),
       col("p.user_id") === col("e.user_id") &&

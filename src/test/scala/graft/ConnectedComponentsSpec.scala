@@ -68,6 +68,37 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("convergence check rides the jump pass — no separate count action per round") {
+    // the changed-label count is observe()d during the loopState
+    // materialization; a regression back to a per-round `count()` job
+    // doubles the loop's action count at scale. QueryExecutionListener
+    // records every action's funcName: only the localCheckpoint (or
+    // checkpoint) materializations may appear while the loop runs.
+    val funcs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        funcs.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = (0L until 63L).map(i => (i, i + 1))
+      val got = edges.toDF("a", "b").connectedComponents("a", "b")
+      // force full loop execution before inspecting (collect is OUTSIDE
+      // the loop and registers as its own funcName)
+      assert(got.collect().length == 64)
+      // listener delivery is async — wait for the materializations
+      val deadline = System.nanoTime() + 5000000000L
+      while (!funcs.contains("localCheckpoint") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(funcs.contains("localCheckpoint"), s"expected loopState actions, saw $funcs")
+      assert(!funcs.contains("count"),
+        s"a per-round count() action is back on the CC loop: $funcs")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("dedupNearDuplicates keeps one doc per near-dup cluster, passes singletons") {
     // three exact-ish families (identical text => jaccard 1.0 across
     // every minhash band) + two distinct singletons

@@ -141,4 +141,18 @@ class ToleranceSpec extends AnyFunSuite {
     assert(nonEmptyProbes > 0) // the banding actually matched something
     assert(got.size == levels.map(_._1).distinct.length * depths.size) // 0-cand probes kept
   }
+
+  test("bandedToleranceJoin enforces the non-key column-disjointness contract") {
+    import spark.implicits._
+    val l = Seq((1L, 10.0, "a")).toDF("k", "x", "tag")
+    val r = Seq((1L, 10.5, "b")).toDF("k", "y", "tag") // `tag` collides
+    val e = intercept[IllegalArgumentException] {
+      l.bandedToleranceJoin(r, Seq("k"), "x", "y", 1.0)
+    }
+    assert(e.getMessage.contains("tag"), s"message should name the clash: ${e.getMessage}")
+    // disjoint sides still work
+    val ok = l.bandedToleranceJoin(r.withColumnRenamed("tag", "rtag"),
+      Seq("k"), "x", "y", 1.0)
+    assert(ok.count() == 1)
+  }
 }
