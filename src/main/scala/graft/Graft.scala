@@ -160,6 +160,79 @@ object Graft {
         .select(leftCols.map(col) :+ col(s"interp_$rightValue"): _*)
     }
 
+    /** Per-key CUBIC interpolation of `rightValue` AT each left row's
+      * probe time — the last item of the reference's interpolation menu
+      * (InterpolatorCore.py:60-64, interp1d kind="cubic"), re-expressed
+      * as a LOCAL cubic: a Hermite segment through the bracketing events
+      * with three-point finite-difference tangents (the non-uniform
+      * Catmull-Rom form). scipy's global not-a-knot spline needs a
+      * tridiagonal solve over the whole per-key series — state that
+      * cannot stream and a per-key O(n) memory hot spot at scale; the
+      * local form uses exactly 4 control points per probe, matches the
+      * spline away from boundaries to O(h^3), and is SQL-expressible, so
+      * the gate is exact.
+      *
+      * Scale path: the 4 segment control points (prev, self, next,
+      * next2) are attached to each EVENT row by one lag/lead window —
+      * then one union + ONE carry window hands each probe its segment
+      * struct; two shuffles total on the key, never a per-probe range
+      * join. `right` must be unique per (key, rightTs). Outside the
+      * event span the result is null; an exact timestamp hit returns the
+      * event value; with only 2-3 events the tangents degrade to
+      * one-sided differences. Output: left columns +
+      * `interp_<rightValue>` (double). */
+    def interpolateCubicAt(right: DataFrame, keyCol: String, leftTs: String,
+        rightTs: String, rightValue: String): DataFrame = {
+      val leftCols = df.columns.toSeq
+      def us(c: Column) = unix_micros(c.cast("timestamp")).cast("double")
+      val wEv = Window.partitionBy(col("_k")).orderBy(col("_t"))
+      val ev = right.select(
+        col(keyCol).as("_k"), col(rightTs).cast("timestamp").as("_t"),
+        col(rightValue).cast("double").as("_v"))
+        .select(col("_k"), col("_t"),
+          struct(
+            col("_t").as("t0"), col("_v").as("y0"),
+            lag(col("_t"), 1).over(wEv).as("pmt"), lag(col("_v"), 1).over(wEv).as("pmv"),
+            lead(col("_t"), 1).over(wEv).as("n1t"), lead(col("_v"), 1).over(wEv).as("n1v"),
+            lead(col("_t"), 2).over(wEv).as("n2t"), lead(col("_v"), 2).over(wEv).as("n2v"))
+            .as("_seg"),
+          lit(0).as("_side"))
+      val l = df.withColumn("_k", col(keyCol))
+        .withColumn("_t", col(leftTs).cast("timestamp"))
+        .withColumn("_seg", lit(null).cast(ev.schema("_seg").dataType))
+        .withColumn("_side", lit(1))
+      val rPadded = leftCols.foldLeft(ev)((acc, c) =>
+        if (acc.columns.contains(c)) acc
+        else acc.withColumn(c, lit(null).cast(df.schema(c).dataType)))
+      // events sort BEFORE probes at equal time: an exact hit carries
+      // its own segment (and returns y0 exactly)
+      val wPrev = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def f(n: String) = col(s"_sg.$n")
+      val h = us(f("n1t")) - us(f("t0"))
+      val s = (us(col("_t")) - us(f("t0"))) / h
+      val s2 = s * s
+      val s3 = s * s * s
+      val oneSided = (f("n1v") - f("y0")) / h
+      val m0 = when(f("pmt").isNotNull,
+        (f("n1v") - f("pmv")) / (us(f("n1t")) - us(f("pmt")))).otherwise(oneSided)
+      val m1 = when(f("n2t").isNotNull,
+        (f("n2v") - f("y0")) / (us(f("n2t")) - us(f("t0")))).otherwise(oneSided)
+      val hermite = (lit(2) * s3 - lit(3) * s2 + lit(1)) * f("y0") +
+        (s3 - lit(2) * s2 + s) * h * m0 +
+        (lit(-2) * s3 + lit(3) * s2) * f("n1v") +
+        (s3 - s2) * h * m1
+      l.unionByName(rPadded, allowMissingColumns = true)
+        .withColumn("_sg", last(col("_seg"), ignoreNulls = true).over(wPrev))
+        .filter(col("_side") === 1)
+        .withColumn(s"interp_$rightValue",
+          when(col("_sg").isNull, lit(null).cast("double"))
+            .when(us(col("_t")) === us(f("t0")), f("y0"))
+            .when(f("n1t").isNull, lit(null).cast("double"))
+            .otherwise(hermite))
+        .select(leftCols.map(col) :+ col(s"interp_$rightValue"): _*)
+    }
+
     /** Sessionize: a gap longer than `gap` starts a new session;
       * returns the input plus a per-key `session_id`. */
     def sessionize(keyCol: String, tsCol: String, gap: String): DataFrame = {

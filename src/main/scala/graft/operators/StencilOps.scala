@@ -71,6 +71,20 @@ object StencilOps {
           round(col("interp_value"), 6).as("interp_value"))
     }),
 
+    // §2.9 CUBIC interpolation at the same probe grid (reference
+    // InterpolatorCore.py:60-64 kind="cubic" as a local Hermite /
+    // non-uniform Catmull-Rom segment — see Graft.interpolateCubicAt).
+    // Exact-gated: both engines evaluate the identical double formula.
+    "q64_interp_cubic_axis" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+        .dedupKeepFirst(Seq("user_id", "ts"), Seq(col("event_id")))
+      Relational.probeGrid(s, dir)
+        .interpolateCubicAt(ev, "user_id", "probe_ts", "ts", "value")
+        .select(col("user_id"), col("probe_ts"),
+          round(col("interp_value"), 6).as("interp_value"))
+    }),
+
     // §2.6 2-D destagger stencil: half-sum of staggered neighbors with
     // edge duplication, as neighbor-offset equi-joins
     "q55_destagger_2d" -> ((s, dir) => {
@@ -122,6 +136,53 @@ object StencilOps {
                    / (epoch_us(nx.nt) - epoch_us(pr.pt)) END, 6) AS interp_value
          FROM prev pr JOIN nxt nx
            ON nx.user_id = pr.user_id AND nx.probe_ts = pr.probe_ts""",
+    "q64_interp_cubic_axis" ->
+      """WITH probes AS (
+           SELECT user_id, probe_ts
+           FROM (SELECT DISTINCT user_id FROM events),
+             LATERAL unnest(generate_series(TIMESTAMP '2024-01-02',
+               TIMESTAMP '2024-01-30', INTERVAL 6 HOUR)) AS t(probe_ts)),
+         ev AS (
+           SELECT user_id, ts, value FROM (
+             SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+             FROM events)
+           WHERE rn = 1),
+         seg AS (
+           SELECT user_id, ts, value,
+             lag(ts) OVER w AS pmt, lag(value) OVER w AS pmv,
+             lead(ts) OVER w AS n1t, lead(value) OVER w AS n1v,
+             lead(ts, 2) OVER w AS n2t, lead(value, 2) OVER w AS n2v
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         j AS (
+           SELECT p.user_id, p.probe_ts, e.ts, e.value,
+             e.pmt, e.pmv, e.n1t, e.n1v, e.n2t, e.n2v
+           FROM probes p ASOF LEFT JOIN seg e
+             ON p.user_id = e.user_id AND p.probe_ts >= e.ts),
+         k AS (
+           SELECT *,
+             CAST(epoch_us(n1t) - epoch_us(ts) AS DOUBLE) AS h,
+             CAST(epoch_us(probe_ts) - epoch_us(ts) AS DOUBLE)
+               / CAST(epoch_us(n1t) - epoch_us(ts) AS DOUBLE) AS s
+           FROM j),
+         m AS (
+           SELECT *, s * s AS s2, s * s * s AS s3,
+             CASE WHEN pmt IS NOT NULL
+                  THEN (n1v - pmv) / CAST(epoch_us(n1t) - epoch_us(pmt) AS DOUBLE)
+                  ELSE (n1v - value) / h END AS m0,
+             CASE WHEN n2t IS NOT NULL
+                  THEN (n2v - value) / CAST(epoch_us(n2t) - epoch_us(ts) AS DOUBLE)
+                  ELSE (n1v - value) / h END AS m1
+           FROM k)
+         SELECT user_id, probe_ts,
+           round(CASE
+             WHEN ts IS NULL THEN NULL
+             WHEN epoch_us(probe_ts) = epoch_us(ts) THEN value
+             WHEN n1t IS NULL THEN NULL
+             ELSE (2 * s3 - 3 * s2 + 1) * value + (s3 - 2 * s2 + s) * h * m0
+               + (-2 * s3 + 3 * s2) * n1v + (s3 - s2) * h * m1
+           END, 6) AS interp_value
+         FROM m""",
     "q55_destagger_2d" ->
       s"""WITH g AS ($gridSql),
           guv AS ($uvSql)

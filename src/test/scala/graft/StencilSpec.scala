@@ -41,6 +41,48 @@ class StencilSpec extends AnyFunSuite {
     assert(r.getAs[Double]("interp_value") == 20.0)
   }
 
+  test("interpolateCubicAt: quadratic data on a uniform grid reproduces exactly") {
+    // centered-difference tangents are exact for a parabola on a uniform
+    // axis, so the Hermite segment reproduces f(t) = t^2/100 at interior
+    // probes to double precision
+    val f = (sec: Long) => sec.toDouble * sec.toDouble / 100.0
+    val evDf = (0 to 8).map(i => ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + 10000L * i, f(10L * i)))
+      .toDF("k", "ms", "value")
+      .withColumn("ts", (col("ms") / 1000).cast("timestamp")).drop("ms")
+    val probes = Seq(15L, 25L, 37L, 63L).map(sec =>
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + 1000L * sec, sec))
+      .toDF("k", "ms", "sec")
+      .withColumn("pts", (col("ms") / 1000).cast("timestamp")).drop("ms")
+    val got = probes.interpolateCubicAt(evDf, "k", "pts", "ts", "value")
+      .select("sec", "interp_value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Seq(15L, 25L, 37L, 63L).foreach { sec =>
+      assert(math.abs(got(sec) - f(sec) ) < 1e-9,
+        s"probe at ${sec}s: got ${got(sec)}, want ${f(sec)}")
+    }
+  }
+
+  test("interpolateCubicAt: exact hit, out-of-range nulls, 2-point linear fallback") {
+    val ev = Seq(
+      ("a", "2024-01-01 00:00:00", 10.0),
+      ("a", "2024-01-01 00:00:10", 30.0)
+    ).toDF("k", "ts", "value").withColumn("ts", col("ts").cast("timestamp"))
+    val probes = Seq(
+      ("a", "2023-12-31 23:59:59"), // before first -> null
+      ("a", "2024-01-01 00:00:00"), // exact hit -> 10
+      ("a", "2024-01-01 00:00:05"), // only 2 events: one-sided tangents
+      ("a", "2024-01-01 00:00:10"), // exact hit on LAST -> 30
+      ("a", "2024-01-01 00:00:11")  // after last -> null
+    ).toDF("k", "pts").withColumn("pts", col("pts").cast("timestamp"))
+    val got = probes.interpolateCubicAt(ev, "k", "pts", "ts", "value")
+      .orderBy("pts").select("interp_value").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).isEmpty && got(4).isEmpty)
+    assert(got(1).contains(10.0) && got(3).contains(30.0))
+    // with both tangents one-sided the Hermite degenerates to linear
+    assert(math.abs(got(2).get - 20.0) < 1e-9)
+  }
+
   test("destagger gate duplicates the edge value where the neighbor is missing") {
     // the max-key cell has neither its (y, x+1) nor its (y+1, x)
     // neighbor in the grid: both destaggered components must equal the
