@@ -294,27 +294,53 @@ object Bench {
     spark.stop()
 
     // ---- CDC dual-parallelism throughput (isolated JVMs) -----------
-    val (runs8, hw8, mem8) = cdcSubprocess(8, cdcEvents, cdcEpochs, logDir)
-    val (runs32, hw32, mem32) = cdcSubprocess(32, cdcEvents, cdcEpochs, logDir)
+    // SPARK_GRAFT_LADDER=1 adds the 16- and 24-thread rungs: the
+    // 4-point ladder regressed against the per-level DRAM probe is the
+    // evidence that the single-box scaling ceiling is the memory
+    // subsystem, not the engine (round-3 verdict #1).
+    val ladderOn = sys.env.get("SPARK_GRAFT_LADDER").contains("1")
+    val levels = if (ladderOn) Seq(8, 16, 24, 32) else Seq(8, 32)
+    val perLevel: Map[Int, (Seq[Double], Double, Double)] =
+      levels.map(c => c -> cdcSubprocess(c, cdcEvents, cdcEpochs, logDir)).toMap
+    val (runs8, hw8, mem8) = perLevel(8)
+    val (runs32, hw32, mem32) = perLevel(32)
     rmTree(logDir)
     val (thr8, thr32) = (median(runs8), median(runs32))
     val eff = (thr32 / thr8) / 4.0
     val hwCeiling = (hw32 / hw8) / 4.0
     val memCeiling = (mem32 / mem8) / 4.0
 
+    // per-rung DRAM-fit: predicted throughput at L threads if the engine
+    // scaled exactly with the measured memory-bandwidth probe
+    // (thr8 * memL/mem8); fit = measured / predicted. fit ~ 1 across the
+    // ladder means the engine tracks the DRAM ceiling, not its own
+    // serial sections.
+    val ladderJson = if (ladderOn) {
+      val entries = levels.map { c =>
+        val (runs, hw, mem) = perLevel(c)
+        val thr = median(runs)
+        val pred = median(runs8) * (mem / mem8)
+        f"""{"threads":$c,"events_per_sec":$thr%.0f,"runs":${runs.map(r => f"$r%.0f").mkString("[", ",", "]")},"hw_ops_per_sec":$hw%.0f,"mem_bw_gbps":${mem / 1e9}%.1f,"dram_fit_pred_events_per_sec":$pred%.0f,"thr_over_dram_fit":${thr / pred}%.3f}"""
+      }
+      entries.mkString(""","ladder":[""", ",", "]")
+    } else ""
+
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.0f").mkString("[", ",", "]")
     val cdcJson =
-      f"""{"events":$cdcEvents,"epochs":$cdcEpochs,"events_per_sec_local8":$thr8%.0f,"events_per_sec_local32":$thr32%.0f,"runs_local8":${arr(runs8)},"runs_local32":${arr(runs32)},"min_local8":${runs8.min}%.0f,"max_local8":${runs8.max}%.0f,"min_local32":${runs32.min}%.0f,"max_local32":${runs32.max}%.0f,"scaling_efficiency_8_to_32":$eff%.3f,"hw_cpu_scaling_ceiling_8_to_32":$hwCeiling%.3f,"hw_mem_bw_scaling_ceiling_8_to_32":$memCeiling%.3f,"scaling_efficiency_vs_mem_ceiling":${if (memCeiling > 0) eff / memCeiling else -1.0}%.3f,"mem_bw_gbps_8":${mem8 / 1e9}%.1f,"mem_bw_gbps_32":${mem32 / 1e9}%.1f}"""
+      f"""{"events":$cdcEvents,"epochs":$cdcEpochs,"events_per_sec_local8":$thr8%.0f,"events_per_sec_local32":$thr32%.0f,"runs_local8":${arr(runs8)},"runs_local32":${arr(runs32)},"min_local8":${runs8.min}%.0f,"max_local8":${runs8.max}%.0f,"min_local32":${runs32.min}%.0f,"max_local32":${runs32.max}%.0f,"scaling_efficiency_8_to_32":$eff%.3f,"hw_cpu_scaling_ceiling_8_to_32":$hwCeiling%.3f,"hw_mem_bw_scaling_ceiling_8_to_32":$memCeiling%.3f,"scaling_efficiency_vs_mem_ceiling":${if (memCeiling > 0) eff / memCeiling else -1.0}%.3f,"mem_bw_gbps_8":${mem8 / 1e9}%.1f,"mem_bw_gbps_32":${mem32 / 1e9}%.1f$ladderJson}"""
     val json =
       f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"queries_failed":$failed,"sf":"$sfDir","cdc":$cdcJson}"""
     // stdout (driver parse) AND a bare file (survives any log wrapping);
     // CDC-only sampling runs go to a side file so they never clobber the
     // round's full-bench artifact
     println(json)
-    val outFile = if (skipQueries) "bench_cdc_sample.json" else "bench_out.json"
+    val outFile =
+      if (ladderOn && skipQueries) "bench_ladder.json"
+      else if (skipQueries) "bench_cdc_sample.json"
+      else "bench_out.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
   }
 }

@@ -105,8 +105,40 @@ object Profile {
           }
           time(s"scan+reduce+normalize [$round]")(
             noop(Apply.normalize(Apply.reduce(log), 4)))
+          // parse-FIRST experiment (round-3 verdict #2): normalize before
+          // the reduce so `after` shuffles as parsed columns instead of a
+          // JSON string — pays the parse on every event (~16x more rows)
+          // to shave shuffle bytes
+          time(s"scan+parse-first+reduce [$round]")(
+            noop(Apply.reduce(Apply.normalize(log, 4))))
           val t = new LakeTable(s"$dir/t$round")
           time(s"full applyEpoch [$round]")(Apply.applyEpoch(spark, t, log, 0L))
+          time(s"full epoch parse-first [$round]") {
+            val t2 = new LakeTable(s"$dir/pf$round")
+            t2.upsert(Apply.reduce(Apply.normalize(log, 4)), 0L, 4)
+          }
+        }
+
+      // reduce-formulation shootout round 2 (verdict-r3 #2): interleaved
+      // warm repetitions in ONE JVM so host noise hits all variants
+      case "reduceopt" =>
+        val logDir = args(1)
+        val log = spark.read.schema(Pipeline.envelopeSchema)
+          .parquet(s"$logDir/seg-00000")
+          .select("repo", "path", "op", "lsn", "ts", "after")
+        noop(log) // warm scan
+        (1 to 3).foreach { round =>
+          time(s"A baseline max_by reduce [$round]")(noop(Apply.reduce(log)))
+          time(s"B two-pass hashagg + bcast join [$round]") {
+            val winners = log.groupBy(col("repo"), col("path")).agg(max(col("lsn")).as("lsn"))
+            noop(log.join(broadcast(winners), Seq("repo", "path", "lsn"))
+              .dropDuplicates(Seq("repo", "path")))
+          }
+          time(s"C two-pass hashagg + shuffle join [$round]") {
+            val winners = log.groupBy(col("repo"), col("path")).agg(max(col("lsn")).as("lsn"))
+            noop(log.join(winners, Seq("repo", "path", "lsn"))
+              .dropDuplicates(Seq("repo", "path")))
+          }
         }
 
       case "cdc" =>

@@ -19,6 +19,21 @@ object ExtraOps {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Julian-date conversions (jdutil.py:20-235 date_to_jd/jd_to_mjd/
+    // jd_to_date): JD/MJD per event timestamp + a micros-exact
+    // round-trip back through the inverse — pure Column arithmetic,
+    // exact-gated (identical double ops in both engines)
+    "q65_julian_day" -> ((s, dir) => {
+      import graft.functions.ColumnFns._
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts"))
+        .select(col("event_id"),
+          julianDay(col("ts")).as("jd"),
+          modifiedJulianDay(col("ts")).as("mjd"))
+        .withColumn("rt_us",
+          unix_micros(julianDayToTimestamp(col("jd"))))
+    }),
+
     // multi-level aggregation (rollup) — subtotal + grand-total rows
     "q37_rollup" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -183,6 +198,16 @@ object ExtraOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q65_julian_day" ->
+      """SELECT event_id,
+           CAST(epoch_us(ts) AS DOUBLE) / CAST(86400000000.0 AS DOUBLE)
+             + CAST(2440587.5 AS DOUBLE) AS jd,
+           CAST(epoch_us(ts) AS DOUBLE) / CAST(86400000000.0 AS DOUBLE)
+             + CAST(2440587.5 AS DOUBLE) - CAST(2400000.5 AS DOUBLE) AS mjd,
+           CAST(round((CAST(epoch_us(ts) AS DOUBLE) / CAST(86400000000.0 AS DOUBLE)
+             + CAST(2440587.5 AS DOUBLE) - CAST(2440587.5 AS DOUBLE))
+             * CAST(86400000000.0 AS DOUBLE), 0) AS BIGINT) AS rt_us
+         FROM events""",
     "q42_lowpass" -> {
       val (b, a) = graft.functions.IIR.exponential(0.3)
       iirOracleSql(b, a, "smoothed")
