@@ -1,6 +1,6 @@
 package graft.cdc
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 import scala.util.Using
@@ -39,6 +39,11 @@ final case class Snapshot(
     // default must still hash keys into the buckets the data was
     // actually written with, or point lookups prune to the wrong dir
     numBuckets: Int = 32)
+
+/** Thrown when another writer committed a snapshot version first (the
+  * manifest CAS lost). upsert retries internally; compactions abort. */
+final class CommitConflictException(version: Long)
+  extends RuntimeException(s"snapshot v$version was committed concurrently")
 
 /** Result of an upsert: whether the epoch committed (false = idempotent
   * replay skip) and the file group it appended (None for an empty
@@ -139,9 +144,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       if (node.has("numBuckets")) node.get("numBuckets").asInt() else numBuckets)
   }
 
-  /** Atomically commit a snapshot manifest (write tmp + ATOMIC_MOVE —
-    * the rename is the commit point; a crash before it leaves only
-    * unreferenced data files, never a partially visible snapshot). */
+  /** Atomically commit a snapshot manifest: write tmp (fsync'd), then
+    * PUBLISH via hard link — `link(2)` fails with EEXIST if the version
+    * already exists, so exactly one of two racing committers wins (a
+    * rename would silently REPLACE on POSIX and lose a snapshot; this
+    * is the compare-and-swap Iceberg's metadata commit does against the
+    * catalog). A crash before the link leaves only unreferenced tmp/data
+    * files, never a partially visible snapshot. The manifest directory
+    * is fsync'd after publishing so the commit survives power loss. */
   private def commitManifest(s: Snapshot): Unit = {
     val obj: ObjectNode = mapper.createObjectNode()
     obj.put("version", s.version)
@@ -160,8 +170,24 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     }
     val tmp = manifestDir.resolve(s".tmp-${UUID.randomUUID()}.json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(obj))
-    Files.move(tmp, manifestPath(s.version), StandardCopyOption.ATOMIC_MOVE)
+    fsync(tmp)
+    try Files.createLink(manifestPath(s.version), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitConflictException(s.version)
+    }
+    Files.deleteIfExists(tmp)
+    fsync(manifestDir)
   }
+
+  /** Best-effort fsync of a file or directory (a directory fsync makes
+    * the link durable on POSIX; not all filesystems allow it — ignore). */
+  private def fsync(p: Path): Unit =
+    try {
+      Using.resource(java.nio.channels.FileChannel.open(
+        p, java.nio.file.StandardOpenOption.READ))(_.force(true))
+    } catch { case _: Exception => () }
 
   // ---- columns ------------------------------------------------------
 
@@ -229,13 +255,39 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       if (hasParquet(Paths.get(root, groupDir)))
         Some(FileGroup(groupDir, batchSchemaVersion, "delta"))
       else None
-    val newSchemaVersion = math.max(prev.map(_.schemaVersion).getOrElse(1), batchSchemaVersion)
-    val groups = prev.map(_.groups).getOrElse(Nil) ++ written.toSeq
-    commitManifest(Snapshot(
-      prev.map(_.version).getOrElse(0L) + 1L, epochId, newSchemaVersion, groups,
-      groups.count(_.kind == "delta"),
-      math.max(prev.map(_.maxLsn).getOrElse(-1L), batchMaxLsn), nb))
-    CommitResult(committed = true, written)
+    val maxLsn = batchMaxLsn // evaluate the by-name once, after the write
+
+    // optimistic commit: if another writer won the version CAS, re-read
+    // the new head and re-commit THIS epoch's already-written group on
+    // top of it (Iceberg's metadata-refresh retry) — data files are
+    // immutable, only the manifest is rebuilt. If the winner already
+    // committed this epoch id (a racing attempt of the same epoch),
+    // the replay guard turns the retry into the idempotent no-op and
+    // our files stay unreferenced (vacuum candidates).
+    var base = prev
+    while (true) {
+      if (base.exists(_.epochId >= epochId)) return CommitResult(committed = false, None)
+      val newSchemaVersion = math.max(base.map(_.schemaVersion).getOrElse(1), batchSchemaVersion)
+      val groups = base.map(_.groups).getOrElse(Nil) ++ written.toSeq
+      try {
+        commitManifest(Snapshot(
+          base.map(_.version).getOrElse(0L) + 1L, epochId, newSchemaVersion, groups,
+          groups.count(_.kind == "delta"),
+          math.max(base.map(_.maxLsn).getOrElse(-1L), maxLsn), nb))
+        return CommitResult(committed = true, written)
+      } catch {
+        case _: CommitConflictException =>
+          base = latest()
+          // first-commit race with a different constructor default: our
+          // data files are bucketed differently than the table's now-
+          // committed scheme — cannot be reconciled by a metadata retry
+          if (base.exists(_.numBuckets != nb))
+            throw new IllegalStateException(
+              s"concurrent first commits with different bucket counts " +
+                s"($nb vs ${base.get.numBuckets}); rebucket the batch and retry")
+      }
+    }
+    CommitResult(committed = false, None) // unreachable
   }
 
   // ---- read (merge-on-read reconstruction) -------------------------
@@ -387,10 +439,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
           .parquet(s"$root/$groupDir")
       } finally withBucket.unpersist(blocking = false)
       val wroteFiles = hasParquet(Paths.get(root, groupDir))
-      commitManifest(Snapshot(
+      // a compaction that loses the commit race ABORTS (its state was
+      // computed against a superseded snapshot); the written base files
+      // stay unreferenced and become vacuum candidates
+      try commitManifest(Snapshot(
         s.version + 1L, s.epochId, s.schemaVersion,
         if (wroteFiles) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil, 0,
         s.maxLsn, s.numBuckets))
+      catch { case _: CommitConflictException => return }
     }
   }
 
@@ -451,9 +507,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
         }
         val groups = kept ++
           (if (wrote) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil)
-        commitManifest(Snapshot(
+        // lost race -> abort; exclusions were computed against a
+        // superseded snapshot (see compact)
+        try commitManifest(Snapshot(
           s.version + 1L, s.epochId, s.schemaVersion, groups,
           groups.count(_.kind == "delta"), s.maxLsn, s.numBuckets))
+        catch { case _: CommitConflictException => return Set.empty }
         hot
     }
   }

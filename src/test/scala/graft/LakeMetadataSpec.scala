@@ -115,6 +115,75 @@ class LakeMetadataSpec extends AnyFunSuite {
     assert(table.readVersion(spark, 2).isEmpty)
   }
 
+  test("manifest commit is a CAS: racing writers serialize, no snapshot lost") {
+    val dir = TestSpark.tmpDir("cdc-cas") + "/t"
+    val keys = (0 until 20).map(i => (s"r$i", "a"))
+    // two INSTANCES of the same table (two drivers racing)
+    val w1 = new LakeTable(dir, numBuckets = 4)
+    val w2 = new LakeTable(dir, numBuckets = 4)
+    w1.upsert(mkBatch(keys, 0L), 0L, 1)
+    // the exactly-once crash-recovery race: a zombie driver's attempt
+    // of epoch 1 and its replacement's attempt run CONCURRENTLY. Both
+    // read head v1, both spend the data-write phase (a multi-second
+    // Spark job) before committing, so both target v2 — with a
+    // rename-based commit BOTH "succeed" (the second silently REPLACES
+    // the first's manifest: a lost snapshot) and both report
+    // committed=true, breaking exactly-once accounting. The link-CAS
+    // serializes them: the loser's retry re-reads the head, sees its
+    // epoch already committed, and degrades to the idempotent no-op.
+    // (Spark is thread-safe for concurrent actions on one session.)
+    val b1 = mkBatch(keys, 1000L)
+    val b2 = mkBatch(keys, 1000L)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, CommitResult]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(
+      new Thread(() =>
+        try results.put(1, w1.upsert(b1, 1L, 1))
+        catch { case t: Throwable => errs.add(t) }),
+      new Thread(() =>
+        try results.put(2, w2.upsert(b2, 1L, 1))
+        catch { case t: Throwable => errs.add(t) }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent upsert threw: ${errs.peek()}")
+    assert(results.get(1).committed ^ results.get(2).committed,
+      "exactly ONE attempt of the epoch may report committed")
+    val head = w1.latest().get
+    assert(head.version == 2L && head.epochId == 1L,
+      s"expected one serialized commit, got v${head.version} epoch ${head.epochId}")
+    assert(head.groups.count(_.kind == "delta") == 2,
+      "the winning attempt's group must be the only new one")
+    val got = stateMap(w1.read(spark))
+    assert(got(("r0", "a"))._2 == "content-r0-a-1000")
+    assert(got.size == keys.size)
+
+    // a distinct LATER epoch then lands on top normally
+    assert(w2.upsert(mkBatch(keys.take(3), 9000L), 9L, 1).committed)
+    assert(w1.latest().get.version == 3L)
+  }
+
+  test("a compaction that loses the commit race aborts without corrupting state") {
+    val dir = TestSpark.tmpDir("cdc-casc") + "/t"
+    val keys = (0 until 20).map(i => (s"r$i", "a"))
+    val table = new LakeTable(dir, numBuckets = 4)
+    (0 until 4).foreach(e => table.upsert(mkBatch(keys, 100L * e), e.toLong, 1))
+    val before = stateMap(table.read(spark))
+    // steal the version the compaction will target: pre-commit an
+    // upsert from a second handle between its read and its commit is
+    // hard to interleave deterministically, so instead occupy the next
+    // version file directly — the CAS must see EEXIST and abort
+    val v = table.latest().get.version
+    val occupied = java.nio.file.Paths.get(dir, "manifests", f"v${v + 1}%09d.json")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "manifests", f"v$v%09d.json"), occupied)
+    assert(table.compactBuckets(spark, minDeltas = 2).isEmpty,
+      "compaction must abort when it loses the version race")
+    java.nio.file.Files.delete(occupied)
+    assert(stateMap(table.read(spark)) == before)
+    // and with the contender gone, the same compaction succeeds
+    assert(table.compactBuckets(spark, minDeltas = 2).nonEmpty)
+    assert(stateMap(table.read(spark)) == before)
+  }
+
   test("audit file count stays O(compactions) over a many-epoch replay") {
     val dir = TestSpark.tmpDir("cdc-audit")
     val auditDir = s"$dir/audit"
