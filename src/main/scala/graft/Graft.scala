@@ -48,6 +48,23 @@ object Graft {
       sinceVersion: Long, toVersion: Long): DataFrame =
     new LakeTable(tableDir).readChanges(spark, sinceVersion, toVersion)
 
+  /** Time-travel read: table state as of committed snapshot `version`
+    * (Iceberg VERSION AS OF), reconstructed from manifest history. */
+  def readTableVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame =
+    new LakeTable(tableDir).readVersion(spark, version)
+
+  /** Table maintenance: rewrite buckets holding >= `minDeltas` live
+    * delta groups into per-bucket bases (Iceberg binpack analogue);
+    * other buckets' files untouched. Returns the rewritten buckets. */
+  def compactTable(spark: SparkSession, tableDir: String, minDeltas: Int): Set[Int] =
+    new LakeTable(tableDir).compactBuckets(spark, minDeltas)
+
+  /** Table maintenance: keep the newest `keep` snapshots, delete the
+    * rest plus any data files no kept snapshot references (Iceberg
+    * expire_snapshots + remove_orphan_files; single-writer vacuum). */
+  def expireTableSnapshots(tableDir: String, keep: Int): Unit =
+    new LakeTable(tableDir).expireSnapshots(keep)
+
   /** Tail a directory of binlog segments as a Structured Stream into
     * the lake table, checkpointed and exactly-once; resumes from
     * `checkpointDir` after a crash. */

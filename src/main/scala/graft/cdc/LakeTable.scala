@@ -525,6 +525,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     * remove_orphan_files analogue. Time travel remains available for
     * kept versions only. */
   def expireSnapshots(keep: Int = 1): Unit = {
+    // stale CAS leftovers (a crash between tmp-write and publish)
+    // are unreferenced by construction — single-writer vacuum contract
+    // means no commit is in flight now
+    if (Files.isDirectory(manifestDir)) {
+      Using.resource(Files.list(manifestDir)) { st =>
+        st.iterator().asScala.filter(_.getFileName.toString.startsWith(".tmp-")).toSeq
+      }.foreach(Files.deleteIfExists(_))
+    }
     val vs = versions()
     if (vs.size <= keep) return
     val referenced = vs.takeRight(keep).flatMap(v => readManifest(v).groups.map(_.dir)).toSet
