@@ -62,8 +62,9 @@ object Graft {
   /** Table maintenance: keep the newest `keep` snapshots, delete the
     * rest plus any data files no kept snapshot references (Iceberg
     * expire_snapshots + remove_orphan_files; single-writer vacuum). */
-  def expireTableSnapshots(tableDir: String, keep: Int): Unit =
-    new LakeTable(tableDir).expireSnapshots(keep)
+  def expireTableSnapshots(tableDir: String, keep: Int,
+      graceMs: Long = 600000L): Unit =
+    new LakeTable(tableDir).expireSnapshots(keep, graceMs)
 
   /** Tail a directory of binlog segments as a Structured Stream into
     * the lake table, checkpointed and exactly-once; resumes from
@@ -75,6 +76,16 @@ object Graft {
   // ---- DataFrame operators ------------------------------------------
 
   implicit class GraftOps(private val df: DataFrame) {
+
+    /** The union+window operators stage internal columns on the left
+      * frame; a user column with one of those names would be silently
+      * overwritten and returned corrupted (withColumn REPLACES). */
+    private def requireFreeNames(op: String, names: String*): Unit = {
+      val clash = df.columns.toSet & names.toSet
+      require(clash.isEmpty,
+        s"$op reserves internal column names; rename before calling: " +
+          clash.toSeq.sorted.mkString(", "))
+    }
 
     /** One row per key: the row with the greatest `orderCol` wins —
       * the CDC reduction (map-side partial agg collapses hot keys
@@ -107,6 +118,8 @@ object Graft {
     def asofJoinLatest(right: DataFrame, keyCol: String, leftTs: String,
         rightTs: String, rightValue: String,
         rightTie: Option[String] = None): DataFrame = {
+      requireFreeNames("asofJoinLatest",
+        "_k", "_t", "_v", "_tie", "_side", "_asof", s"asof_$rightValue")
       val leftCols = df.columns.toSeq
       val l = df.withColumn("_k", col(keyCol)).withColumn("_t", col(leftTs))
         .withColumn("_v", lit(null).cast(right.schema(rightValue).dataType))
@@ -145,6 +158,8 @@ object Graft {
       * columns + `interp_<rightValue>` (double). */
     def interpolateLinearAt(right: DataFrame, keyCol: String, leftTs: String,
         rightTs: String, rightValue: String): DataFrame = {
+      requireFreeNames("interpolateLinearAt",
+        "_k", "_t", "_v", "_side", "_pv", "_pt", "_nv", "_nt", s"interp_$rightValue")
       val leftCols = df.columns.toSeq
       def us(c: Column) = unix_micros(c.cast("timestamp")).cast("double")
       val l = df.withColumn("_k", col(keyCol))
@@ -200,6 +215,8 @@ object Graft {
       * `interp_<rightValue>` (double). */
     def interpolateCubicAt(right: DataFrame, keyCol: String, leftTs: String,
         rightTs: String, rightValue: String): DataFrame = {
+      requireFreeNames("interpolateCubicAt",
+        "_k", "_t", "_seg", "_side", "_sg", s"interp_$rightValue")
       val leftCols = df.columns.toSeq
       def us(c: Column) = unix_micros(c.cast("timestamp")).cast("double")
       val wEv = Window.partitionBy(col("_k")).orderBy(col("_t"))

@@ -97,14 +97,25 @@ final class Audit(val dir: String) {
     }
   }
 
-  /** Opportunistic audit-side compaction (the expireSnapshots analogue
-    * for the lineage table): when the audit dir has accumulated more
-    * than `maxFiles` parquet files — a 10^5-epoch replay would
-    * otherwise leave 10^5 tiny files — rewrite the current files into
-    * one and delete them. Runs on the same single worker thread as the
-    * appends, so it never races a recordAsync; readers hold the
-    * single-writer contract the lake's vacuum already states.
-    * Trigger it alongside table compaction (Pipeline does). */
+  /** Opportunistic audit-side compaction: when the audit dir has
+    * accumulated more than `maxFiles` per-epoch parquet files — a
+    * 10^5-epoch replay would otherwise leave 10^5 tiny files — merge
+    * them into ONE new `compacted-*` segment and delete them. Runs on
+    * the same single worker thread as the appends, so it never races a
+    * recordAsync. Trigger it alongside table compaction (Pipeline does).
+    *
+    * SIZE-TIERED: previously compacted segments are never re-read or
+    * rewritten — each lineage row is rewritten exactly once, keeping
+    * total compaction I/O linear in epochs (rewriting the whole dir
+    * each trigger would be O(epochs^2/maxFiles) over a long replay).
+    *
+    * CRASH-SAFE via an absorb sidecar: the input list is persisted
+    * (fsync'd dot-file, invisible to Spark's parquet reader) BEFORE the
+    * compacted segment is published, and the inputs are deleted after.
+    * A crash in between leaves segment + sidecar; the next
+    * compaction/read completes the deletes instead of double-counting
+    * the absorbed rows forever. A crash before publish leaves only the
+    * sidecar (inputs intact) — swept by the next compactNow. */
   def compactAsync(spark: SparkSession, maxFiles: Int = 64): Unit = {
     worker.submit(new Runnable {
       def run(): Unit =
@@ -114,36 +125,72 @@ final class Audit(val dir: String) {
     ()
   }
 
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Complete interrupted compactions. `completeOnly`: finish published
+    * segments' deletes but keep not-yet-published sidecars (a read may
+    * run while the worker is mid-protocol; only the worker itself may
+    * discard an unpublished sidecar). */
+  private def recoverCompactions(root: java.nio.file.Path, completeOnly: Boolean): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val sidecars = scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
+      st.iterator().asScala.filter(_.getFileName.toString.startsWith(".absorb-")).toSeq
+    }
+    sidecars.foreach { sc =>
+      val id = sc.getFileName.toString.stripPrefix(".absorb-").stripSuffix(".json")
+      val segment = root.resolve(s"compacted-$id.parquet")
+      if (java.nio.file.Files.exists(segment)) {
+        val node = mapper.readTree(java.nio.file.Files.readAllBytes(sc))
+        node.elements().asScala.foreach(f =>
+          java.nio.file.Files.deleteIfExists(root.resolve(f.asText())))
+        java.nio.file.Files.deleteIfExists(sc)
+      } else if (!completeOnly) java.nio.file.Files.deleteIfExists(sc)
+    }
+  }
+
   private def compactNow(spark: SparkSession, maxFiles: Int): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(root)) return
-    val files = scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
-      st.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    recoverCompactions(root, completeOnly = false)
+    // size-tiered input set: per-epoch appends only, never prior segments
+    val inputs = scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(f => f.endsWith(".parquet") && !f.startsWith("compacted-")).toSeq
     }
-    if (files.size <= maxFiles) return
+    if (inputs.size <= maxFiles) return
     val tmp = s"$dir-compact-tmp"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     // read exactly the snapshot of files taken above (not the dir — a
     // concurrent append queued behind this job must not be absorbed
     // then deleted); mergeSchema spans engine versions, as in read()
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(inputs.map(f => root.resolve(f).toString): _*)
       .coalesce(1).write.parquet(tmp)
-    val moved = scala.util.Using.resource(
+    val part = scala.util.Using.resource(
       java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { st =>
       st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
-    }
-    moved.zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.move(f,
-        root.resolve(s"compacted-${System.nanoTime()}-$i.parquet"))
-    }
-    files.foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    }.head
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val sidecar = root.resolve(s".absorb-$id.json")
+    java.nio.file.Files.write(sidecar,
+      mapper.writeValueAsBytes(inputs.toArray))
+    try scala.util.Using.resource(java.nio.channels.FileChannel.open(
+      sidecar, java.nio.file.StandardOpenOption.READ))(_.force(true))
+    catch { case _: Exception => () }
+    java.nio.file.Files.move(part, root.resolve(s"compacted-$id.parquet"))
+    inputs.foreach(f => java.nio.file.Files.deleteIfExists(root.resolve(f)))
+    java.nio.file.Files.deleteIfExists(sidecar)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
   // mergeSchema: an audit dir may span engine versions that added
   // metric columns (e.g. late_events); a single-footer schema would
-  // read such a dir nondeterministically
-  def read(spark: SparkSession): DataFrame =
+  // read such a dir nondeterministically. Completes any published-but-
+  // uninstalled compaction first so absorbed rows never double-count.
+  def read(spark: SparkSession): DataFrame = {
+    recoverCompactions(java.nio.file.Paths.get(dir), completeOnly = true)
     spark.read.option("mergeSchema", "true").parquet(dir)
+  }
 }

@@ -176,6 +176,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
         throw new CommitConflictException(s.version)
+      // a vacuum outside its grace window (or manual cleanup) swept our
+      // tmp between write and publish: surface as a retryable conflict
+      // — the retry writes a fresh tmp and links again
+      case _: java.nio.file.NoSuchFileException =>
+        throw new CommitConflictException(s.version)
     }
     Files.deleteIfExists(tmp)
     fsync(manifestDir)
@@ -188,6 +193,18 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       Using.resource(java.nio.channels.FileChannel.open(
         p, java.nio.file.StandardOpenOption.READ))(_.force(true))
     } catch { case _: Exception => () }
+
+  /** fsync every file and directory under `dir` — a manifest must not
+    * be published before the data files it references are durable, or
+    * a power loss leaves a durable snapshot pointing at torn/absent
+    * parquet (worse than losing both together). O(bucket files) per
+    * epoch; on a real cluster the object store's PUT gives the same
+    * barrier. */
+  private def fsyncTree(dir: Path): Unit =
+    if (Files.isDirectory(dir)) {
+      Using.resource(Files.walk(dir))(_.iterator().asScala.toSeq)
+        .foreach(fsync)
+    }
 
   // ---- columns ------------------------------------------------------
 
@@ -249,6 +266,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
         .parquet(s"$root/$groupDir")
     } finally withBucket.unpersist(blocking = false)
 
+    fsyncTree(Paths.get(root, groupDir)) // data durable BEFORE the manifest
     // an empty epoch still advances the commit high-water mark, but a
     // file-less group must not be referenced (unreadable schema)
     val written =
@@ -319,9 +337,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   /** Last-writer-wins reconstruction per key; deletes drop out. */
   def read(spark: SparkSession): DataFrame = readAt(spark, latest())
 
-  /** Time-travel read: state as of committed snapshot `version`. */
+  /** Time-travel read: state as of committed snapshot `version`.
+    * Fails loudly for an expired or never-committed version — an empty
+    * frame would be indistinguishable from "the table was genuinely
+    * empty at v" (same contract as readChanges). */
   def readVersion(spark: SparkSession, version: Long): DataFrame =
-    readAt(spark, snapshotAt(version))
+    readAt(spark, Some(snapshotAt(version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot at version $version (expired or never committed)"))))
 
   /** O(one-bucket) point lookup of a single key: the key's bucket is
     * derived DRIVER-SIDE with the same xxhash64(seed=42) the writers
@@ -438,6 +461,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
           .write.partitionBy("bucket").mode("overwrite")
           .parquet(s"$root/$groupDir")
       } finally withBucket.unpersist(blocking = false)
+      fsyncTree(Paths.get(root, groupDir))
       val wroteFiles = hasParquet(Paths.get(root, groupDir))
       // a compaction that loses the commit race ABORTS (its state was
       // computed against a superseded snapshot); the written base files
@@ -499,6 +523,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
             .write.partitionBy("bucket").mode("overwrite")
             .parquet(s"$root/$groupDir")
         } finally withBucket.unpersist(blocking = false)
+        fsyncTree(Paths.get(root, groupDir))
         val wrote = hasParquet(Paths.get(root, groupDir))
 
         val kept = live.flatMap { case (g, liveBuckets) =>
@@ -519,19 +544,30 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
 
   def deltaGroupCount: Int = latest().map(_.totalDeltaGroups).getOrElse(0)
 
-  /** Expire old snapshots (single-writer vacuum): keep the newest
-    * `keep` manifests, drop older ones, and delete data file groups no
-    * kept snapshot references — the Iceberg expire_snapshots /
-    * remove_orphan_files analogue. Time travel remains available for
-    * kept versions only. */
-  def expireSnapshots(keep: Int = 1): Unit = {
-    // stale CAS leftovers (a crash between tmp-write and publish)
-    // are unreferenced by construction — single-writer vacuum contract
-    // means no commit is in flight now
+  /** Expire old snapshots (vacuum): keep the newest `keep` manifests,
+    * drop older ones, and delete data file groups no kept snapshot
+    * references — the Iceberg expire_snapshots / remove_orphan_files
+    * analogue. Time travel remains available for kept versions only.
+    *
+    * `graceMs` shields in-flight commits from the sweep (Iceberg's
+    * older-than cutoff): an unreferenced group or tmp manifest whose
+    * files were modified within the window is SPARED — a concurrent
+    * writer may have written it and not yet published. Pass 0 only
+    * when no writer can be active (tests, cold maintenance). */
+  def expireSnapshots(keep: Int = 1, graceMs: Long = 600000L): Unit = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    def olderThanGrace(p: Path): Boolean =
+      try {
+        Using.resource(Files.walk(p))(_.iterator().asScala.toSeq)
+          .forall(f => Files.getLastModifiedTime(f).toMillis < cutoff)
+      } catch { case _: Exception => false }
+    // stale CAS leftovers (a crash between tmp-write and publish) —
+    // only beyond the grace window, so a racing commit's freshly
+    // written tmp is never swept from under its createLink
     if (Files.isDirectory(manifestDir)) {
       Using.resource(Files.list(manifestDir)) { st =>
         st.iterator().asScala.filter(_.getFileName.toString.startsWith(".tmp-")).toSeq
-      }.foreach(Files.deleteIfExists(_))
+      }.filter(olderThanGrace).foreach(Files.deleteIfExists(_))
     }
     val vs = versions()
     if (vs.size <= keep) return
@@ -540,7 +576,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     if (Files.isDirectory(dataDir)) {
       val dirs = Using.resource(Files.list(dataDir))(_.iterator().asScala.toSeq)
       dirs.foreach { d =>
-        if (!referenced.contains(s"data/${d.getFileName}")) {
+        if (!referenced.contains(s"data/${d.getFileName}") && olderThanGrace(d)) {
           Using.resource(Files.walk(d))(_.iterator().asScala.toSeq)
             .reverse.foreach(Files.deleteIfExists(_))
         }

@@ -149,7 +149,7 @@ class CdcApplySpec extends AnyFunSuite {
     // vacuum: compact, keep only the newest snapshot, state unchanged
     val digest = Oracle.digest(table.read(spark), stateCols)
     table.compact(spark)
-    table.expireSnapshots(keep = 1)
+    table.expireSnapshots(keep = 1, graceMs = 0L)
     assert(Oracle.digest(table.read(spark), stateCols) == digest)
     assert(table.snapshotAt(head - 2).isEmpty, "expired snapshot must be gone")
     // only the compacted base group's data remains on disk

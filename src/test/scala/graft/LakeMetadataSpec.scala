@@ -97,13 +97,13 @@ class LakeMetadataSpec extends AnyFunSuite {
     val dirsBefore = dataDirs(dir)
     assert(dirsBefore.size == 3)
 
-    table.expireSnapshots(keep = 2)
+    table.expireSnapshots(keep = 2, graceMs = 0L)
     // v1's manifest is gone; no group became orphan yet (v2's groups are
     // a subset of v3's in this append-only history), so expire alone
     // deletes nothing — now cross a compaction to CREATE orphans
     assert(table.snapshotAt(1).isEmpty)
     table.compactBuckets(spark, minDeltas = 1) // rewrites everything -> v4
-    table.expireSnapshots(keep = 1)
+    table.expireSnapshots(keep = 1, graceMs = 0L)
     val dirsAfter = dataDirs(dir)
     // only the compacted base group survives on disk
     assert(dirsAfter.size == 1 && dirsAfter.forall(_.endsWith("-base")),
@@ -111,8 +111,9 @@ class LakeMetadataSpec extends AnyFunSuite {
     // the kept (current) version still reads the exact pre-vacuum state
     assert(stateMap(table.read(spark)) == v3State)
     assert(v2State != v3State, "fixture must distinguish versions")
-    // expired versions are gone from history (empty read, not wrong data)
-    assert(table.readVersion(spark, 2).isEmpty)
+    // expired versions fail loudly (an empty frame would be
+    // indistinguishable from a genuinely empty table at v2)
+    intercept[IllegalArgumentException](table.readVersion(spark, 2))
   }
 
   test("manifest commit is a CAS: racing writers serialize, no snapshot lost") {
@@ -184,6 +185,42 @@ class LakeMetadataSpec extends AnyFunSuite {
     assert(stateMap(table.read(spark)) == before)
   }
 
+  test("audit compaction crash between publish and delete does not double-count") {
+    import org.apache.spark.sql.SaveMode
+    val dir = TestSpark.tmpDir("cdc-audit-crash")
+    val auditDir = s"$dir/audit"
+    // three per-epoch append files
+    (0 until 3).foreach { e =>
+      Seq((e.toLong, 0L, 10L)).toDF("epoch_id", "bucket", "rows_applied")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(auditDir)
+    }
+    val root = Paths.get(auditDir)
+    val inputs = scala.util.Using.resource(Files.list(root)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(f => f.endsWith(".parquet") && !f.startsWith("compacted-")).toSeq
+    }
+    assert(inputs.size == 3)
+    // simulate the crash window: the compacted segment AND its absorb
+    // sidecar exist, the absorbed originals were NOT yet deleted
+    val seg = spark.read.parquet(auditDir)
+    val tmp = s"$auditDir-tmp"
+    seg.coalesce(1).write.parquet(tmp)
+    val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { st =>
+      st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    }.head
+    Files.move(part, root.resolve("compacted-crashtest.parquet"))
+    Files.write(root.resolve(".absorb-crashtest.json"),
+      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsBytes(inputs.toArray))
+    // naive read of the dir would now double-count; Audit.read must
+    // complete the interrupted compaction first
+    val rows = new Audit(auditDir).read(spark)
+    assert(rows.count() == 3L, "absorbed originals double-counted after crash")
+    assert(rows.groupBy("epoch_id").count().filter(col("count") =!= 1L).count() == 0)
+    // the originals are gone, the sidecar consumed
+    assert(!Files.exists(root.resolve(".absorb-crashtest.json")))
+    inputs.foreach(f => assert(!Files.exists(root.resolve(f)), s"$f not cleaned"))
+  }
+
   test("audit file count stays O(compactions) over a many-epoch replay") {
     val dir = TestSpark.tmpDir("cdc-audit")
     val auditDir = s"$dir/audit"
@@ -202,7 +239,7 @@ class LakeMetadataSpec extends AnyFunSuite {
       assert(st.committed)
       if (table.deltaGroupCount >= 8) {
         table.compactBuckets(spark, minDeltas = 8)
-        audit.compactAsync(spark, maxFiles = 8)
+        audit.compactAsync(spark, maxFiles = 6)
       }
     }
     audit.flush()
@@ -211,6 +248,14 @@ class LakeMetadataSpec extends AnyFunSuite {
     }
     assert(files < epochs / 2, s"audit dir grew O(epochs): $files files for $epochs epochs")
     // compaction preserved every lineage row: one per (epoch, bucket)
+    // size-tiered: the earliest compacted segment was written once and
+    // never rewritten by later compactions (same path + mtime)
+    val segs = scala.util.Using.resource(Files.list(Paths.get(auditDir))) { st =>
+      st.iterator().asScala.filter(_.getFileName.toString.startsWith("compacted-"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toSeq
+    }
+    assert(segs.size >= 2, s"expected multiple size-tiered segments, got ${segs.size}")
+
     val rows = audit.read(spark)
     assert(rows.select("epoch_id").distinct().count() == epochs.toLong)
     // rows_applied is per (epoch, bucket); per-epoch sums must equal the

@@ -83,6 +83,22 @@ class StencilSpec extends AnyFunSuite {
     assert(math.abs(got(2).get - 20.0) < 1e-9)
   }
 
+  test("union-window operators reject left frames using their reserved column names") {
+    val ev = Seq(("a", "2024-01-01 00:00:00", 1.0))
+      .toDF("k", "ts", "value").withColumn("ts", col("ts").cast("timestamp"))
+    val probes = Seq(("a", "2024-01-01 00:00:00", "user-data"))
+      .toDF("k", "pts", "_t") // _t collides with the staging columns
+      .withColumn("pts", col("pts").cast("timestamp"))
+    Seq(
+      () => probes.interpolateCubicAt(ev, "k", "pts", "ts", "value"),
+      () => probes.interpolateLinearAt(ev, "k", "pts", "ts", "value"),
+      () => probes.asofJoinLatest(ev, "k", "pts", "ts", "value")
+    ).foreach { op =>
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("_t"), s"message should name the clash: ${e.getMessage}")
+    }
+  }
+
   test("destagger gate duplicates the edge value where the neighbor is missing") {
     // the max-key cell has neither its (y, x+1) nor its (y+1, x)
     // neighbor in the grid: both destaggered components must equal the
