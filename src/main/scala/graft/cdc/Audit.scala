@@ -190,7 +190,11 @@ final class Audit(val dir: String) {
   // read such a dir nondeterministically. Completes any published-but-
   // uninstalled compaction first so absorbed rows never double-count.
   def read(spark: SparkSession): DataFrame = {
-    recoverCompactions(java.nio.file.Paths.get(dir), completeOnly = true)
+    // best-effort: a read must not fail because cleanup could not run
+    // (read-only mount, permissions); duplicates then persist only
+    // until the next writable recovery
+    try recoverCompactions(java.nio.file.Paths.get(dir), completeOnly = true)
+    catch { case _: Exception => () }
     spark.read.option("mergeSchema", "true").parquet(dir)
   }
 }
