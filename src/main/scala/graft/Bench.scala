@@ -270,12 +270,20 @@ object Bench {
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
 
     // ---- query timings at sfDir -----------------------------------
+    // SPARK_GRAFT_CDC_TYPED=1 writes the binlog segments in the TYPED
+    // struct-payload layout (no JSON parse anywhere in the replay —
+    // Pipeline.typedEnvelopeSchema); default stays the JSON layout for
+    // round-over-round comparability. The layout is recorded in the
+    // emitted JSON ("payload").
+    val typedLog = sys.env.get("SPARK_GRAFT_CDC_TYPED").contains("1")
+
     val spark = session(cpus, cpus)
     spark.read.parquet(s"$sfDir/nation.parquet").count() // warm I/O + JVM
     // materialize the shared binlog fixture once, reusing this session
     val logDir = s"$scratchRoot/log"
     rmTree(logDir)
-    Pipeline.writeLogSegments(spark, benchCfg(cdcEvents), logDir, cdcEpochs, filesPerSegment = 0)
+    Pipeline.writeLogSegments(spark, benchCfg(cdcEvents), logDir, cdcEpochs,
+      filesPerSegment = 0, typedPayload = typedLog)
     // Per-query failures are NOT swallowed: a crashed query must read
     // as a failure, not as a suspiciously fast timing.
     val results = (if (skipQueries) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1))
@@ -309,14 +317,19 @@ object Bench {
       .getOrElse(if (ladderOn) Seq(4, 8, 16, 24, 32) else Seq(8, 32))
     val perLevel: Map[Int, (Seq[Double], Double, Double)] =
       levels.map(c => c -> cdcSubprocess(c, cdcEvents, cdcEpochs, logDir)).toMap
-    // headline fields describe min->max rung (8->32 unless overridden)
-    val (runs8, hw8, mem8) = perLevel.getOrElse(8, perLevel(levels.min))
-    val (runs32, hw32, mem32) = perLevel.getOrElse(32, perLevel(levels.max))
+    // headline pair = the min and max rungs that actually ran; the
+    // efficiency divisor is their true thread ratio (a "4,16" or "2,8"
+    // sampling run previously reported under mislabeled 8/32 keys with
+    // a hardcoded /4 divisor — only correct when max = 4x min)
+    val (loT, hiT) = (levels.min, levels.max)
+    val (runs8, hw8, mem8) = perLevel(loT)
+    val (runs32, hw32, mem32) = perLevel(hiT)
     rmTree(logDir)
+    val ratio = hiT.toDouble / loT.toDouble
     val (thr8, thr32) = (median(runs8), median(runs32))
-    val eff = (thr32 / thr8) / 4.0
-    val hwCeiling = (hw32 / hw8) / 4.0
-    val memCeiling = (mem32 / mem8) / 4.0
+    val eff = (thr32 / thr8) / ratio
+    val hwCeiling = (hw32 / hw8) / ratio
+    val memCeiling = (mem32 / mem8) / ratio
 
     // per-rung DRAM-fit: predicted throughput at L threads if the engine
     // scaled exactly with the measured memory-bandwidth probe
@@ -330,19 +343,27 @@ object Bench {
         val pred = median(runs8) * (mem / mem8)
         f"""{"threads":$c,"events_per_sec":$thr%.0f,"runs":${runs.map(r => f"$r%.0f").mkString("[", ",", "]")},"hw_ops_per_sec":$hw%.0f,"mem_bw_gbps":${mem / 1e9}%.1f,"dram_fit_pred_events_per_sec":$pred%.0f,"thr_over_dram_fit":${thr / pred}%.3f}"""
       }
-      val eff416 =
-        if (perLevel.contains(4) && perLevel.contains(16))
-          f""","scaling_efficiency_4_to_16":${(median(perLevel(16)._1) / median(perLevel(4)._1)) / 4.0}%.3f"""
-        else ""
-      entries.mkString(""","ladder":[""", ",", "]") + eff416
+      // every N->4N pair the ladder contains (4->16, 2->8, 8->32, ...)
+      val pairEffs = levels.filter(c => perLevel.contains(c) && perLevel.contains(4 * c))
+        .map { c =>
+          f""","scaling_efficiency_${c}_to_${4 * c}":${(median(perLevel(4 * c)._1) / median(perLevel(c)._1)) / 4.0}%.3f"""
+        }.mkString
+      entries.mkString(""","ladder":[""", ",", "]") + pairEffs
     } else ""
 
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.0f").mkString("[", ",", "]")
+    // legacy local8/local32 keys are emitted ONLY when those rungs ran
+    // (the driver's historical field names); the rung-parameterized
+    // fields are authoritative for any sampling run
+    val legacy =
+      if (loT == 8 && hiT == 32)
+        f""","events_per_sec_local8":$thr8%.0f,"events_per_sec_local32":$thr32%.0f,"runs_local8":${arr(runs8)},"runs_local32":${arr(runs32)},"scaling_efficiency_8_to_32":$eff%.3f"""
+      else ""
     val cdcJson =
-      f"""{"events":$cdcEvents,"epochs":$cdcEpochs,"events_per_sec_local8":$thr8%.0f,"events_per_sec_local32":$thr32%.0f,"runs_local8":${arr(runs8)},"runs_local32":${arr(runs32)},"min_local8":${runs8.min}%.0f,"max_local8":${runs8.max}%.0f,"min_local32":${runs32.min}%.0f,"max_local32":${runs32.max}%.0f,"scaling_efficiency_8_to_32":$eff%.3f,"hw_cpu_scaling_ceiling_8_to_32":$hwCeiling%.3f,"hw_mem_bw_scaling_ceiling_8_to_32":$memCeiling%.3f,"scaling_efficiency_vs_mem_ceiling":${if (memCeiling > 0) eff / memCeiling else -1.0}%.3f,"mem_bw_gbps_8":${mem8 / 1e9}%.1f,"mem_bw_gbps_32":${mem32 / 1e9}%.1f$ladderJson}"""
+      f"""{"events":$cdcEvents,"epochs":$cdcEpochs,"payload":"${if (typedLog) "typed" else "json"}","headline_rungs":[$loT,$hiT],"events_per_sec_t$loT":$thr8%.0f,"events_per_sec_t$hiT":$thr32%.0f,"runs_t$loT":${arr(runs8)},"runs_t$hiT":${arr(runs32)},"min_t$loT":${runs8.min}%.0f,"max_t$loT":${runs8.max}%.0f,"min_t$hiT":${runs32.min}%.0f,"max_t$hiT":${runs32.max}%.0f,"scaling_efficiency":$eff%.3f,"hw_cpu_scaling_ceiling":$hwCeiling%.3f,"hw_mem_bw_scaling_ceiling":$memCeiling%.3f,"scaling_efficiency_vs_mem_ceiling":${if (memCeiling > 0) eff / memCeiling else -1.0}%.3f,"mem_bw_gbps_t$loT":${mem8 / 1e9}%.1f,"mem_bw_gbps_t$hiT":${mem32 / 1e9}%.1f$legacy$ladderJson}"""
     val json =
       f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"queries_failed":$failed,"sf":"$sfDir","cdc":$cdcJson}"""
     // stdout (driver parse) AND a bare file (survives any log wrapping);

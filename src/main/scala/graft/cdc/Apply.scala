@@ -49,15 +49,22 @@ object Apply {
     Option(scanProbeCounts.get(tableRoot)).map(_.longValue).getOrElse(0L)
 
   /** Normalize raw envelope rows (op, lsn, ts, schemaVersion, repo,
-    * path, after) to era-physical payload columns at `version`. The
-    * JSON payload is parsed exactly once into a struct column in its
-    * own projection (see SchemaRegistry.parsePayload). */
-  def normalize(events: DataFrame, version: Int): DataFrame =
-    events
-      .withColumn("_parsed", SchemaRegistry.parsePayload(col("after")))
-      .select(
-        Seq(col("repo"), col("path"), col("op"), col("lsn"), col("ts")) ++
-          SchemaRegistry.normalizedTo(version, col("_parsed")): _*)
+    * path, after) to era-physical payload columns at `version`.
+    *
+    * A STRING `after` is JSON, parsed exactly once into a struct column
+    * in its own projection (see SchemaRegistry.parsePayload). A STRUCT
+    * `after` (typed binlog segments — Pipeline.writeLogSegments with
+    * typedPayload) is used directly: NO row ever JSON-parses, the
+    * per-field projection is plain codegen'd GetStructField. */
+  def normalize(events: DataFrame, version: Int): DataFrame = {
+    val typed = events.schema("after").dataType.isInstanceOf[StructType]
+    val parsed =
+      if (typed) events.withColumn("_parsed", col("after"))
+      else events.withColumn("_parsed", SchemaRegistry.parsePayload(col("after")))
+    parsed.select(
+      Seq(col("repo"), col("path"), col("op"), col("lsn"), col("ts")) ++
+        SchemaRegistry.normalizedTo(version, col("_parsed")): _*)
+  }
 
   /** One row per key: the event with the highest LSN wins; payload and
     * op ride along in the struct. */
@@ -182,7 +189,9 @@ object Apply {
       .agg(min_by(struct(col("lsn"), col("before")), col("lsn")).as("_s"))
       .select(col("repo"), col("path"), col("_s.lsn").as("lsn"), col("_s.before").as("before"))
       .filter(col("before").isNotNull)
-      .withColumn("_b", SchemaRegistry.parsePayload(col("before")))
+      .withColumn("_b",
+        if (rawEvents.schema("before").dataType.isInstanceOf[StructType]) col("before")
+        else SchemaRegistry.parsePayload(col("before")))
       // NUL sentinel so null content and "" content stay distinct
       // (the Oracle.digest convention)
       .select(col("repo"), col("path"), col("lsn"),

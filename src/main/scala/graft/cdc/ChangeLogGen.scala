@@ -71,9 +71,17 @@ object ChangeLogGen {
     * generator-side analogue of partition pruning: because disorder is
     * bounded (`delivery = 2*id + jitter`, |jitter| <= disorderWindow), a
     * delivery-position chunk maps to a bounded id window, so an epoch's
-    * batch can be produced at O(chunk) instead of O(total log). */
+    * batch can be produced at O(chunk) instead of O(total log).
+    *
+    * `typedPayload = true` emits `before`/`after` as TYPED STRUCT
+    * columns at the union read schema (every historical field name at
+    * its widest type, era-absent fields null) instead of JSON strings —
+    * the Avro-with-registry-style binlog whose segments need no parse
+    * at apply time (SchemaRegistry.readSchema; Apply.normalize detects
+    * the struct and skips from_json entirely). */
   def events(spark: SparkSession, cfg: GenConfig,
-      idWindow: Option[(Long, Long)] = None): DataFrame = {
+      idWindow: Option[(Long, Long)] = None,
+      typedPayload: Boolean = false): DataFrame = {
     val k = math.max(cfg.dupEvery, 2L)
     val n = physicalRows(cfg)
     val (lo, hi) = idWindow.map { case (a, b) =>
@@ -127,6 +135,14 @@ object ChangeLogGen {
     // wire for in-range values; the WIDEN shows up in the parquet files the
     // lake writes per era, see LakeTable.)
 
+    // typed variant: ONE struct at the union read schema; era-absent
+    // fields are null (parquet stores all-null columns as ~free
+    // metadata, so the union schema costs no scan bytes)
+    val afterTyped = struct(
+      col("commit"), col("lang"), col("content"),
+      when(col("schemaVersion") === 2, col("stars_l")).cast(LongType).as("stars"),
+      when(col("schemaVersion") >= 3, col("stars_l")).cast(LongType).as("stargazers"))
+
     withLsn
       .withColumn("repo", concat(lit("org/repo-"), repoId))
       .withColumn("path", concat(
@@ -140,10 +156,13 @@ object ChangeLogGen {
       .withColumn("content", content)
       .withColumn(
         "after",
-        when(col("op") === "D", lit(null).cast(StringType))
-          .when(col("schemaVersion") === 1, afterV1)
-          .when(col("schemaVersion") === 2, afterV2)
-          .otherwise(afterV34))
+        if (typedPayload)
+          when(col("op") === "D", lit(null)).otherwise(afterTyped)
+        else
+          when(col("op") === "D", lit(null).cast(StringType))
+            .when(col("schemaVersion") === 1, afterV1)
+            .when(col("schemaVersion") === 2, afterV2)
+            .otherwise(afterV34))
       // by default this synthetic source does not capture row pre-images
       // (common for heartbeat/snapshot-less captures); with
       // withBeforeImages it behaves like a row-image-capturing source:
@@ -154,6 +173,7 @@ object ChangeLogGen {
         if (cfg.withBeforeImages)
           lag(col("after"), 1).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("repo"), col("path")).orderBy(col("lsn")))
+        else if (typedPayload) lit(null).cast(SchemaRegistry.readSchema)
         else lit(null).cast(StringType))
       .withColumn(
         "delivery", // always on the 2*id scale so epoch-window math is uniform

@@ -22,6 +22,16 @@ object Pipeline {
     StructField("repo", StringType), StructField("path", StringType),
     StructField("before", StringType), StructField("after", StringType)))
 
+  /** Typed-binlog envelope: `before`/`after` as structs at the union
+    * read schema (the Avro-with-registry segment layout). Segments in
+    * this layout replay without any JSON parse — see Apply.normalize. */
+  val typedEnvelopeSchema: StructType = StructType(
+    envelopeSchema.fields.map {
+      case StructField(n @ ("before" | "after"), _, _, _) =>
+        StructField(n, SchemaRegistry.readSchema, nullable = true)
+      case f => f
+    })
+
   /** Epoch id of each delivered row: contiguous ranges of the delivery
     * position. With disorder, some events land one epoch later than
     * their LSN implies — the late-arrival case. */
@@ -81,14 +91,15 @@ object Pipeline {
     * streaming tests pair with maxFilesPerTrigger=1; 0 keeps the
     * generator's natural write parallelism (bench replay layout). */
   def writeLogSegments(spark: SparkSession, cfg: GenConfig, logDir: String,
-      segments: Int, filesPerSegment: Int = 1): Unit = {
+      segments: Int, filesPerSegment: Int = 1, typedPayload: Boolean = false): Unit = {
     val span = 2L * ChangeLogGen.physicalRows(cfg) + 2L * cfg.disorderWindow + 2L
     val chunk = math.max(span / segments, 1L)
     (0 until segments).foreach { s =>
       val dLo = s.toLong * chunk - cfg.disorderWindow
       val dHi = (s + 1).toLong * chunk - cfg.disorderWindow
       val window = withEpoch(ChangeLogGen.events(spark, cfg,
-        Some(((dLo - cfg.disorderWindow) / 2 - 1, (dHi + cfg.disorderWindow) / 2 + 2))), cfg, segments)
+        Some(((dLo - cfg.disorderWindow) / 2 - 1, (dHi + cfg.disorderWindow) / 2 + 2)),
+        typedPayload = typedPayload), cfg, segments)
       val seg = window.filter(col("epoch") === s.toLong)
         .select(envelopeSchema.fieldNames.map(col).toSeq: _*)
       (if (filesPerSegment > 0) seg.coalesce(filesPerSegment) else seg)
@@ -106,14 +117,22 @@ object Pipeline {
       logDir: String,
       tableDir: String,
       segments: Int,
-      audit: Option[Audit] = None): Seq[ApplyStats] = {
+      audit: Option[Audit] = None,
+      compactEvery: Int = 0): Seq[ApplyStats] = {
     val table = new LakeTable(tableDir)
     val stats = (0 until segments).map { s =>
       val segDir = f"$logDir/seg-$s%05d"
-      val batch = spark.read.schema(envelopeSchema).parquet(segDir)
+      // schema from the segment's own footers: JSON-payload and typed
+      // (struct-payload) segment layouts both replay through here
+      val batch = spark.read.parquet(segDir)
       // era probe from footer stats: O(files) metadata, no data scan
       val hint = ParquetStats.maxInt(spark, segDir, "schemaVersion")
-      Apply.applyEpoch(spark, table, batch, s.toLong, audit, versionHint = hint)
+      val st = Apply.applyEpoch(spark, table, batch, s.toLong, audit, versionHint = hint)
+      if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) {
+        table.compactBuckets(spark, compactEvery)
+        audit.foreach(_.compactAsync(spark))
+      }
+      st
     }
     audit.foreach(_.flush())
     stats

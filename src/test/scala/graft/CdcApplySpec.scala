@@ -218,4 +218,25 @@ class CdcApplySpec extends AnyFunSuite {
       audit = Some(audit2))
     assert(audit2.read(spark).filter(col("late_events") =!= 0L).count() == 0)
   }
+
+  test("typed-payload segments replay equals JSON replay, with NO json parse") {
+    val dir = TestSpark.tmpDir("cdc-typed")
+    Pipeline.writeLogSegments(spark, cfg, s"$dir/logJ", 4)
+    Pipeline.writeLogSegments(spark, cfg, s"$dir/logT", 4, typedPayload = true)
+    // segments really carry the struct layout on disk
+    val seg = spark.read.parquet(s"$dir/logT/seg-00000")
+    assert(seg.schema("after").dataType ==
+      graft.cdc.SchemaRegistry.readSchema)
+    // the typed normalize plan contains no JsonToStructs anywhere
+    val typedPlan = Apply.normalize(
+      seg.select("repo", "path", "op", "lsn", "ts", "after"), 4)
+      .queryExecution.optimizedPlan.toString
+    assert(!typedPlan.contains("from_json"), s"typed path must not parse JSON:\n$typedPlan")
+    // end-to-end: identical final state either way (digest equality)
+    Pipeline.replaySegments(spark, s"$dir/logJ", s"$dir/tJ", 4)
+    Pipeline.replaySegments(spark, s"$dir/logT", s"$dir/tT", 4)
+    assertSameState(
+      new LakeTable(s"$dir/tT").read(spark),
+      new LakeTable(s"$dir/tJ").read(spark))
+  }
 }
