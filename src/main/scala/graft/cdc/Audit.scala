@@ -185,16 +185,50 @@ final class Audit(val dir: String) {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
-  // mergeSchema: an audit dir may span engine versions that added
-  // metric columns (e.g. late_events); a single-footer schema would
-  // read such a dir nondeterministically. Completes any published-but-
-  // uninstalled compaction first so absorbed rows never double-count.
+  /** Coherent snapshot read of the audit table.
+    *
+    * The file listing (and completion of any interrupted compaction)
+    * runs ON the single audit worker thread, serialized with appends
+    * and compactions — a reader can never list a compacted segment AND
+    * its absorbed inputs together (double-count), nor list an input
+    * file that an in-flight compaction deletes before the scan opens
+    * it, which an unserialized directory read during an active stream
+    * could (Pipeline triggers compactAsync at the compaction cadence).
+    * The returned frame is pinned to the listed files; consume it
+    * within one compaction cadence of creation, or call `flush()`
+    * first for a fully quiescent read — a compaction that publishes
+    * AFTER this snapshot deletes its absorbed inputs, like any lake
+    * vacuuming under a long-held reader.
+    *
+    * mergeSchema: an audit dir may span engine versions that added
+    * metric columns (e.g. late_events); a single-footer schema would
+    * read such a dir nondeterministically. */
   def read(spark: SparkSession): DataFrame = {
-    // best-effort: a read must not fail because cleanup could not run
-    // (read-only mount, permissions); duplicates then persist only
-    // until the next writable recovery
-    try recoverCompactions(java.nio.file.Paths.get(dir), completeOnly = true)
-    catch { case _: Exception => () }
-    spark.read.option("mergeSchema", "true").parquet(dir)
+    val root = java.nio.file.Paths.get(dir)
+    val files = new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    worker.submit(new Runnable {
+      def run(): Unit =
+        try {
+          // best-effort: a read must not fail because cleanup could not
+          // run (read-only mount, permissions); duplicates then persist
+          // only until the next writable recovery
+          try recoverCompactions(root, completeOnly = true)
+          catch { case _: Exception => () }
+          if (java.nio.file.Files.isDirectory(root)) {
+            import scala.jdk.CollectionConverters._
+            files.set(scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
+              st.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+            })
+          }
+        } catch { case t: Throwable => err.set(t) }
+        finally latch.countDown()
+    })
+    latch.await()
+    Option(err.get()).foreach(t => throw t)
+    val snapshot = files.get()
+    if (snapshot.isEmpty) spark.read.option("mergeSchema", "true").parquet(dir)
+    else spark.read.option("mergeSchema", "true").parquet(snapshot: _*)
   }
 }

@@ -40,6 +40,19 @@ final case class Snapshot(
     // actually written with, or point lookups prune to the wrong dir
     numBuckets: Int = 32)
 
+/** Result of a chunked incremental read ([[LakeTable.readChangesChunked]]):
+  * `changes` = union of every readable sub-range's per-epoch delta rows;
+  * `ranges` = the (since, to] version sub-ranges actually served;
+  * `resyncVersions` = versions whose commit was a compaction (rewrite)
+  * that split the feed. CONTRACT: this table's compactions are
+  * state-preserving rewrites that append no logical changes, so the
+  * union is the complete change set of the whole range; a consumer that
+  * cannot assume rewrites are state-preserving should reconcile at each
+  * resync version (e.g. against `readVersion`) before trusting the next
+  * chunk — the "resync at the boundary" contract. */
+final case class ChunkedChanges(
+    changes: DataFrame, ranges: Seq[(Long, Long)], resyncVersions: Seq[Long])
+
 /** Thrown when another writer committed a snapshot version first (the
   * manifest CAS lost). upsert retries internally; compactions abort. */
 final class CommitConflictException(version: Long)
@@ -80,10 +93,16 @@ final case class CommitResult(committed: Boolean, group: Option[FileGroup])
   *    (coverage/io/netcdf/DefaultWriter.py:41,230-240); here position =
   *    key bucket, idempotence = epoch-keyed snapshot commit.
   */
+object LakeTable {
+  /** One warning per JVM when a mount forces the no-CAS commit path. */
+  private val linkFallbackWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 final class LakeTable(val root: String, val numBuckets: Int = 32) {
   private val mapper = new ObjectMapper()
   private def manifestDir = Paths.get(root, "manifests")
   private def dataDir = Paths.get(root, "data")
+  private def headPath = manifestDir.resolve("HEAD")
 
   def init(): Unit = {
     Files.createDirectories(manifestDir)
@@ -115,8 +134,41 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       st.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
     }
 
-  def latest(): Option[Snapshot] =
-    versions().lastOption.map(readManifest)
+  /** Best-effort head-pointer write (a HINT: `latest()` probes forward
+    * from it, so a stale, torn or lost HEAD costs extra probes, never
+    * correctness — which is why a plain replacing rename is enough here
+    * where the manifest publish itself needs a CAS). */
+  private def writeHead(version: Long): Unit =
+    try {
+      val tmp = manifestDir.resolve(s".head-tmp-${UUID.randomUUID()}")
+      Files.write(tmp, version.toString.getBytes("UTF-8"))
+      Files.move(tmp, headPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Exception => () }
+
+  /** Current snapshot in O(1) directory operations: read the HEAD hint
+    * and probe forward past any commits that raced the hint update —
+    * O(1 + hint lag), independent of retained-manifest count. Without
+    * the hint, `applyEpoch` calls here at least twice per epoch and an
+    * unvacuumed 10^5-epoch replay paid an O(retained manifests)
+    * directory listing each call (O(epochs^2) entries scanned overall).
+    * Falls back to the full listing when HEAD is absent (legacy table,
+    * first commit) or points at an expired manifest. */
+  def latest(): Option[Snapshot] = {
+    val hinted: Option[Long] =
+      try {
+        if (!Files.exists(headPath)) None
+        else {
+          val v = new String(Files.readAllBytes(headPath), "UTF-8").trim.toLong
+          if (!Files.exists(manifestPath(v))) None // expired hint
+          else {
+            var cur = v
+            while (Files.exists(manifestPath(cur + 1))) cur += 1
+            Some(cur)
+          }
+        }
+      } catch { case _: Exception => None }
+    hinted.orElse(versions().lastOption).map(readManifest)
+  }
 
   /** Time travel: the snapshot committed as version `v` (like Iceberg's
     * VERSION AS OF). */
@@ -181,9 +233,27 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       // — the retry writes a fresh tmp and links again
       case _: java.nio.file.NoSuchFileException =>
         throw new CommitConflictException(s.version)
+      // filesystems without hard links (some FUSE/object-store mounts,
+      // exFAT): degrade to existence-probe + atomic rename — atomic
+      // publish but NO compare-and-swap, so concurrent writers are not
+      // safe on such a mount; warn once per JVM instead of failing
+      // every commit with a bare UnsupportedOperationException
+      case _: UnsupportedOperationException =>
+        if (!LakeTable.linkFallbackWarned.getAndSet(true))
+          System.err.println(
+            "[lake] WARN: filesystem does not support hard links; manifest " +
+              "commit degrades to atomic-rename WITHOUT compare-and-swap — " +
+              "do not run concurrent writers against this mount")
+        if (Files.exists(manifestPath(s.version))) {
+          Files.deleteIfExists(tmp)
+          throw new CommitConflictException(s.version)
+        }
+        Files.move(tmp, manifestPath(s.version),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     Files.deleteIfExists(tmp)
     fsync(manifestDir)
+    writeHead(s.version)
   }
 
   /** Best-effort fsync of a file or directory (a directory fsync makes
@@ -439,6 +509,49 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       }
   }
 
+  /** Chunked fallback for a [[readChanges]] range that crosses
+    * compactions: split (sinceVersion, toVersion] at every
+    * non-append-only commit (full or per-bucket compaction) and union
+    * the readable sub-ranges, so a consumer resumes an incremental
+    * tail without falling back to a full table read. See
+    * [[ChunkedChanges]] for the resync-at-the-boundary contract.
+    * O(manifests in range) metadata + O(changed rows) data. */
+  def readChangesChunked(spark: SparkSession, sinceVersion: Long,
+      toVersion: Long): ChunkedChanges = {
+    def snap(v: Long): Snapshot = snapshotAt(v).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot at version $v (expired?); use 0 for from-start"))
+    val vs = versions().filter(v => v > sinceVersion && v <= toVersion).sorted
+    var prev: Option[Snapshot] = if (sinceVersion == 0L) None else Some(snap(sinceVersion))
+    val ranges = scala.collection.mutable.Buffer[(Long, Long)]()
+    val resync = scala.collection.mutable.Buffer[Long]()
+    var runStart = sinceVersion
+    vs.foreach { v =>
+      val cur = snap(v)
+      val prevGroups = prev.map(_.groups).getOrElse(Nil)
+      val curByDir = cur.groups.map(g => g.dir -> g).toMap
+      // append-only = every prior group survives with identical bucket
+      // exclusions and only plain delta groups were added; anything
+      // else is a rewrite boundary
+      val appendOnly =
+        prevGroups.forall(g => curByDir.get(g.dir).exists(_.excludedBuckets == g.excludedBuckets)) &&
+          cur.groups.filterNot(g => prevGroups.exists(_.dir == g.dir))
+            .forall(g => g.kind == "delta" && g.excludedBuckets.isEmpty)
+      if (!appendOnly) {
+        if (v - 1 > runStart) ranges += ((runStart, v - 1))
+        resync += v
+        runStart = v
+      }
+      prev = Some(cur)
+    }
+    if (toVersion > runStart) ranges += ((runStart, toVersion))
+    val changes = ranges.toSeq.map { case (a, b) => readChanges(spark, a, b) }
+      .reduceOption(_.unionByName(_))
+      // no readable sub-range: the empty frame with the change schema
+      .getOrElse(readChanges(spark, toVersion, toVersion))
+    ChunkedChanges(changes, ranges.toSeq, resync.toSeq)
+  }
+
   /** Rewrite all groups into a single compacted base group at the
     * current schema version (tombstones dropped), committed as a new
     * snapshot with the same epoch high-water mark. The per-batch hot
@@ -566,7 +679,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     // written tmp is never swept from under its createLink
     if (Files.isDirectory(manifestDir)) {
       Using.resource(Files.list(manifestDir)) { st =>
-        st.iterator().asScala.filter(_.getFileName.toString.startsWith(".tmp-")).toSeq
+        st.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".tmp-") || n.startsWith(".head-tmp-")
+        }.toSeq
       }.filter(olderThanGrace).foreach(Files.deleteIfExists(_))
     }
     val vs = versions()

@@ -24,8 +24,29 @@ object CdcOps {
     * table from an older code version can never leak into a gate. */
   private val foldCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.cdc.LakeTable]()
+
+  /** Cache key = input dir + a content fingerprint (per-file size +
+    * mtime of events.parquet): if the dataset at the same path is
+    * regenerated within one JVM, the fold rebuilds instead of silently
+    * serving the stale lake (the per-run rebuild existed precisely to
+    * keep stale state out of a gate). */
+  private def fingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "events.parquet")
+    if (!java.nio.file.Files.exists(p)) dir
+    else {
+      import scala.jdk.CollectionConverters._
+      val sig = scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => f.getFileName.toString + ":" + java.nio.file.Files.size(f) + ":" +
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          .toSeq.sorted.mkString(",")
+      }
+      s"$dir|$sig"
+    }
+  }
+
   private def foldEventsToLake(s: SparkSession, dir: String): graft.cdc.LakeTable =
-    foldCache.computeIfAbsent(dir, _ => buildFold(s, dir))
+    foldCache.computeIfAbsent(fingerprint(dir), _ => buildFold(s, dir))
 
   private def buildFold(s: SparkSession, dir: String): graft.cdc.LakeTable = {
     import graft.cdc.{Apply, LakeTable}

@@ -265,4 +265,55 @@ class LakeMetadataSpec extends AnyFunSuite {
     assert(perEpoch.map(_.getLong(0)).toSeq == Seq(keys.size.toLong),
       s"per-epoch lineage sums wrong: ${perEpoch.mkString(",")}")
   }
+
+  test("audit read serializes with a queued compaction (coherent snapshot)") {
+    import org.apache.spark.sql.SaveMode
+    val dir = TestSpark.tmpDir("cdc-audit-serial")
+    val auditDir = s"$dir/audit"
+    (0 until 8).foreach { e =>
+      Seq((e.toLong, 0L, 10L)).toDF("epoch_id", "bucket", "rows_applied")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(auditDir)
+    }
+    val audit = new Audit(auditDir)
+    // queue a compaction and read back-to-back: the read's recover+list
+    // runs ON the worker, behind the compaction — it must see each row
+    // exactly once, pinned to a coherent (all-pre or all-post) file set,
+    // never the segment AND its absorbed inputs together
+    audit.compactAsync(spark, maxFiles = 4)
+    val rows = audit.read(spark)
+    assert(rows.count() == 8L)
+    val names = rows.inputFiles.map(f => new java.io.File(f).getName).toSeq
+    assert(names.nonEmpty &&
+      (names.forall(_.startsWith("compacted-")) || names.forall(!_.startsWith("compacted-"))),
+      s"mixed pre/post-compaction listing: $names")
+    audit.flush()
+  }
+
+  test("manifest HEAD hint: latest() survives stale, garbage, lost HEAD and vacuum") {
+    val dir = TestSpark.tmpDir("cdc-head") + "/t"
+    val table = new LakeTable(dir, numBuckets = 4)
+    val keys = (0 until 8).map(i => (s"r$i", "a"))
+    (0 until 5).foreach(e => table.upsert(mkBatch(keys, 100L * e), e.toLong, 1))
+    val head = Paths.get(dir, "manifests", "HEAD")
+    assert(Files.exists(head), "commit must maintain the HEAD hint")
+    assert(table.latest().get.version == 5L)
+
+    // stale hint (a racing writer's overwrite landed late): probe-forward
+    Files.write(head, "2".getBytes("UTF-8"))
+    assert(table.latest().get.version == 5L)
+    // garbage hint: listing fallback
+    Files.write(head, "not-a-version".getBytes("UTF-8"))
+    assert(table.latest().get.version == 5L)
+    // lost hint (legacy table): listing fallback, next commit restores it
+    Files.delete(head)
+    assert(table.latest().get.version == 5L)
+    table.upsert(mkBatch(keys, 900L), 5L, 1)
+    assert(Files.exists(head) && table.latest().get.version == 6L)
+
+    // vacuum keeps the newest manifest; HEAD stays valid
+    table.compact(spark)
+    table.expireSnapshots(keep = 1, graceMs = 0L)
+    assert(table.latest().get.version == 7L)
+    assert(stateMap(table.read(spark)).size == keys.size)
+  }
 }
