@@ -12,6 +12,31 @@ final case class ApplyStats(
     committed: Boolean,
     wallMs: Long)
 
+/** Key-skew controller for the apply reduce: observes each committed
+  * epoch's rows-per-distinct-key ratio (an approx_count_distinct that
+  * rides the SAME single pass over the batch via observe — no pre-scan)
+  * and engages the two-stage salted reduce for the NEXT epoch when the
+  * ratio crosses `threshold`. The steady-state CDC regime is O(10)
+  * deliveries per key; an adversarial single-key flood drives the ratio
+  * toward rows_in_batch, so the default threshold only ever trips on
+  * genuine floods. Decision is one epoch behind by design — the
+  * semantics are identical either way (max_by is associative/
+  * commutative; CdcApplySpec proves salted ≡ unsalted), only the
+  * shuffle shape changes, so a one-epoch lag costs one skewed shuffle,
+  * never correctness. */
+final class AdaptiveSalt(val threshold: Double = 256.0) {
+  private val engagedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var ratio: Double = -1.0
+  /** Salt the next epoch? */
+  def engaged: Boolean = engagedFlag.get()
+  /** rows/distinct-keys of the last committed epoch (-1 before any). */
+  def lastRatio: Double = ratio
+  private[cdc] def update(rowsPerKey: Double): Unit = {
+    ratio = rowsPerKey
+    engagedFlag.set(rowsPerKey >= threshold)
+  }
+}
+
 /** The per-epoch apply stage: raw delivered envelope rows -> dedup ->
   * per-key last-writer-wins reduction -> normalized payload -> lake
   * upsert + audit rows.
@@ -112,7 +137,8 @@ object Apply {
       epochId: Long,
       audit: Option[Audit] = None,
       salted: Boolean = false,
-      versionHint: Option[Int] = None): ApplyStats = {
+      versionHint: Option[Int] = None,
+      adaptive: Option[AdaptiveSalt] = None): ApplyStats = {
     val t0 = System.nanoTime()
 
     def t() = System.nanoTime()
@@ -136,14 +162,20 @@ object Apply {
     // per-row schemaVersion is dead weight past this point (the batch
     // normalizes at the scalar batchVersion) — drop it BEFORE the
     // reduce so it never rides the shuffle or the max_by struct buffer
+    val baseMetrics = Seq(
+      min(col("lsn")).as("min_lsn"),
+      max(col("lsn")).as("max_lsn"),
+      count(lit(1)).as("rows_in_batch"),
+      sum(when(col("lsn") <= prevMaxLsn, 1L).otherwise(0L)).as("late_events"))
+    // the skew signal is only computed when a controller asks for it
+    // (one extra xxhash + HLL update per row, same single pass)
+    val metrics = baseMetrics ++ adaptive.map(_ =>
+      approx_count_distinct(xxhash64(col("repo"), col("path"))).as("approx_keys"))
     val envelope = rawEvents
       .select("repo", "path", "op", "lsn", "ts", "after")
-      .observe(obs,
-        min(col("lsn")).as("min_lsn"),
-        max(col("lsn")).as("max_lsn"),
-        count(lit(1)).as("rows_in_batch"),
-        sum(when(col("lsn") <= prevMaxLsn, 1L).otherwise(0L)).as("late_events"))
-    val reduced = if (salted) saltedReduce(envelope) else reduce(envelope)
+      .observe(obs, metrics.head, metrics.tail: _*)
+    val useSalt = salted || adaptive.exists(_.engaged)
+    val reduced = if (useSalt) saltedReduce(envelope) else reduce(envelope)
     val normalized = normalize(reduced, batchVersion)
     val commit = table.upsert(normalized, epochId, batchVersion,
       batchMaxLsn = obs.get.get("max_lsn").collect { case l: Long => l }.getOrElse(-1L))
@@ -152,9 +184,21 @@ object Apply {
     val inputRows =
       if (commit.committed) obs.get.get("rows_in_batch").map(_.asInstanceOf[Long]).getOrElse(0L)
       else 0L
+    // obs.get BLOCKS until the observed action ran — an idempotent
+    // replay skip returns from upsert before any action, so the
+    // observation must only be consulted on a committed epoch
+    val approxKeys =
+      if (commit.committed)
+        obs.get.get("approx_keys").collect { case l: Long => l }.getOrElse(-1L)
+      else -1L
+    // feed the controller AFTER the epoch (decides the NEXT epoch's
+    // reduce shape); uncommitted replays carry no new signal
+    adaptive.foreach { a =>
+      if (commit.committed && approxKeys > 0) a.update(inputRows.toDouble / approxKeys)
+    }
 
     val wallMs = (System.nanoTime() - t0) / 1000000L
-    val stats = ApplyStats(epochId, inputRows, -1L, batchVersion, commit.committed, wallMs)
+    val stats = ApplyStats(epochId, inputRows, approxKeys, batchVersion, commit.committed, wallMs)
     if (commit.committed) audit.foreach(_.recordAsync(spark, table, commit.group, obs.get, stats))
     if (sys.env.contains("GRAFT_APPLY_TIMING"))
       System.err.println(f"[apply] epoch=$epochId probe=${(tProbe - t1) / 1e9}%.2fs " +

@@ -55,7 +55,8 @@ object Pipeline {
       epochs: Int,
       audit: Option[Audit] = None,
       compactEvery: Int = 0,
-      salted: Boolean = false): Seq[ApplyStats] = {
+      salted: Boolean = false,
+      adaptive: Option[AdaptiveSalt] = None): Seq[ApplyStats] = {
     val table = new LakeTable(tableDir)
     val span = 2L * ChangeLogGen.physicalRows(cfg) + 2L * cfg.disorderWindow + 2L
     val chunk = math.max(span / epochs, 1L)
@@ -69,7 +70,8 @@ object Pipeline {
       val window = withEpoch(
         ChangeLogGen.events(spark, cfg, Some((idLo, idHi))), cfg, epochs)
       val batch = window.filter(col("epoch") === e.toLong).drop("delivery", "epoch")
-      val stats = Apply.applyEpoch(spark, table, batch, e.toLong, audit, salted)
+      val stats = Apply.applyEpoch(spark, table, batch, e.toLong, audit, salted,
+        adaptive = adaptive)
       // incremental: only buckets with >= compactEvery live delta groups
       // rewrite (deltaGroupCount >= threshold is a cheap necessary
       // condition — per-bucket counts never exceed the group count)

@@ -219,6 +219,28 @@ class CdcApplySpec extends AnyFunSuite {
     assert(audit2.read(spark).filter(col("late_events") =!= 0L).count() == 0)
   }
 
+  test("adaptive salting: a single-key flood trips the controller next epoch; digest unchanged") {
+    val hot = GenConfig(numEvents = 30000L, numRepos = 1L, pathsPerRepo = 1L)
+    val ctl = new AdaptiveSalt() // default threshold 256 rows/key
+    val dir = TestSpark.tmpDir("cdc-adapt")
+    assert(!ctl.engaged, "controller must start disengaged")
+    Pipeline.runBatchEpochs(spark, hot, s"$dir/t", epochs = 3, adaptive = Some(ctl))
+    // one key flooded every epoch -> ratio ~ rows_in_batch >> threshold
+    assert(ctl.engaged, s"flood must engage salting (ratio=${ctl.lastRatio})")
+    assert(ctl.lastRatio > 1000.0, s"ratio=${ctl.lastRatio}")
+    val want = Oracle.fold(spark, ChangeLogGen.events(spark, hot).drop("delivery"))
+    assertSameState(new LakeTable(s"$dir/t").read(spark), want)
+
+    // a well-distributed log (~12 rows/key) must NOT engage it
+    val ctl2 = new AdaptiveSalt()
+    val dir2 = TestSpark.tmpDir("cdc-adapt2")
+    Pipeline.runBatchEpochs(spark, cfg, s"$dir2/t", epochs = 2, adaptive = Some(ctl2))
+    assert(!ctl2.engaged, s"uniform load must stay unsalted (ratio=${ctl2.lastRatio})")
+    assert(ctl2.lastRatio > 0.0, "signal must have been observed")
+    assertSameState(new LakeTable(s"$dir2/t").read(spark),
+      Oracle.fold(spark, ChangeLogGen.events(spark, cfg).drop("delivery")))
+  }
+
   test("typed-payload segments replay equals JSON replay, with NO json parse") {
     val dir = TestSpark.tmpDir("cdc-typed")
     Pipeline.writeLogSegments(spark, cfg, s"$dir/logJ", 4)

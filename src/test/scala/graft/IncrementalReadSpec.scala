@@ -47,4 +47,46 @@ class IncrementalReadSpec extends AnyFunSuite {
     // and deletes really removed keys
     assert(full.count() < 60, "expected some keys fully deleted")
   }
+
+  test("chunked read splits at a mid-range compaction and loses no change") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-chunk").toString
+    def env(lsn0: Long) = (0 until 40).map { i =>
+      ("U", lsn0 + i, new java.sql.Timestamp(1700000000000L + lsn0 + i), 1,
+        s"r${i % 5}", s"p${i % 20}", null: String,
+        s"""{"commit":"c${lsn0 + i}","lang":"en","content":"v${lsn0 + i}"}""")
+    }.toDF("op", "lsn", "ts", "schemaVersion", "repo", "path", "before", "after")
+    val table = new LakeTable(dir)
+    Apply.applyEpoch(spark, table, env(0L), 0L, versionHint = Some(1)) // v1
+    Apply.applyEpoch(spark, table, env(100L), 1L, versionHint = Some(1)) // v2
+    table.compact(spark) // v3 — the rewrite boundary
+    Apply.applyEpoch(spark, table, env(200L), 2L, versionHint = Some(1)) // v4
+    Apply.applyEpoch(spark, table, env(300L), 3L, versionHint = Some(1)) // v5
+
+    // the flat read refuses the compaction-crossing range...
+    intercept[IllegalStateException] { table.readChanges(spark, 0, 5).collect() }
+    // ...the chunked read serves both sides and names the boundary
+    val chunked = table.readChangesChunked(spark, 0, 5)
+    assert(chunked.ranges == Seq((0L, 2L), (3L, 5L)), s"ranges=${chunked.ranges}")
+    assert(chunked.resyncVersions == Seq(3L), s"resync=${chunked.resyncVersions}")
+    // compactions append no logical change: the union folds to the full
+    // state (nothing lost at the boundary)
+    val folded = chunked.changes
+      .groupBy(col("repo"), col("path"))
+      .agg(max_by(struct(col("op"), col("lsn"), col("content")), col("lsn")).as("s"))
+      .filter(col("s.op") =!= "D")
+      .select(col("repo"), col("path"), col("s.lsn").as("lsn"), col("s.content").as("content"))
+    val full = table.read(spark).select("repo", "path", "lsn", "content")
+    assert(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty,
+      "chunked changes diverge from the full read")
+
+    // degenerate calls: all-inside-one-run equals the flat read; a range
+    // that ends ON the boundary yields one chunk and no resync after it
+    assert(table.readChangesChunked(spark, 3, 5).ranges == Seq((3L, 5L)))
+    val upTo3 = table.readChangesChunked(spark, 0, 3)
+    assert(upTo3.ranges == Seq((0L, 2L)) && upTo3.resyncVersions == Seq(3L))
+    // empty range: empty frame, change-feed schema intact
+    val empty = table.readChangesChunked(spark, 5, 5)
+    assert(empty.ranges.isEmpty && empty.changes.count() == 0)
+    assert(empty.changes.columns.contains("op"))
+  }
 }
