@@ -14,10 +14,34 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  test("stubDecode golden values") {
-    // fixed payloads: empty, ASCII, binary-ish, and a video-typed one
-    val (f1, w1, h1, n1) = MultimodalOps.stubDecode(Array.emptyByteArray, "image")
-    assert((f1, w1, h1) == (1, 16 + 17 % 64, 16 + (17L / 64 % 64).toInt))
+  test("image decode is a real PNG codec round trip (golden-pinned)") {
+    // hand-built 2x1 image: one black, one white pixel -> mean Rec.709
+    // luminance exactly 0.5; a wrong-channel or wrong-count decode fails
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (f, w, h, norm) = MultimodalOps.decodeImage(bos.toByteArray)
+    assert((f, w, h) == (1, 2, 1))
+    assert(math.abs(norm - 0.5) < 1e-12, s"mean luminance $norm != 0.5")
+
+    // synthetic payloads are REAL PNGs with id-determined dimensions
+    val png7 = MultimodalOps.syntheticPng(7L)
+    assert(png7.take(8).toSeq == Seq(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte), "not a PNG signature")
+    val (f7, w7, h7, n7) = MultimodalOps.decodeImage(png7)
+    assert((f7, w7, h7) == (1, 3 + 7 % 6, 3 + (7 / 6) % 6))
+    assert(n7 > 0.0 && n7 < 1.0)
+    // encode->decode determinism across calls
+    assert(MultimodalOps.decodeImage(MultimodalOps.syntheticPng(7L)) == (f7, w7, h7, n7))
+    // an undecodable payload fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeImage("not an image".getBytes("UTF-8"))
+    }
+  }
+
+  test("stubDecode golden values (audio/video stub path)") {
     val ab = "abc".getBytes("UTF-8")
     val (f2, w2, h2, n2) = MultimodalOps.stubDecode(ab, "audio")
     val ck = ab.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
@@ -40,12 +64,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(docs.nonEmpty && got.size == docs.length)
     docs.foreach { r =>
       val id = r.getLong(0)
-      val payload = r.getString(1).getBytes("UTF-8")
       val mt = Seq("image", "audio", "video")((id % 3).toInt)
-      val (frames, w, h, norm) = MultimodalOps.stubDecode(payload, mt)
+      val payload =
+        if (mt == "image") MultimodalOps.syntheticPng(id)
+        else r.getString(1).getBytes("UTF-8")
+      val (frames, w, h, norm) = MultimodalOps.decode(payload, mt)
       val expect = (mt, payload.length.toLong, frames, w, h,
         BigDecimal(norm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       assert(got(id) == expect, s"doc $id: ${got(id)} != $expect")
     }
+    // the image rows really took the codec path: dimensions in the
+    // synthetic 3..8 range, not the stub's 16..79
+    assert(got.collect { case (id, v) if id % 3 == 0 => v._4 }
+      .forall(w => w >= 3 && w <= 8))
   }
 }
