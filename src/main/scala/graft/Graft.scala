@@ -210,9 +210,13 @@ object Graft {
       * struct; two shuffles total on the key, never a per-probe range
       * join. `right` must be unique per (key, rightTs). Outside the
       * event span the result is null; an exact timestamp hit returns the
-      * event value; with only 2-3 events the tangents degrade to
-      * one-sided differences. Output: left columns +
-      * `interp_<rightValue>` (double). */
+      * event value. TANGENT CONVENTION at duplicate-free boundaries: a
+      * segment missing its outer neighbor (the series' first/last
+      * segment — so ALL segments of a 2- or 3-event series) uses the
+      * ONE-SIDED difference (y1-y0)/h for that end's tangent; when both
+      * tangents are one-sided (a 2-event series) the Hermite reduces
+      * exactly to LINEAR interpolation between the bracketing events.
+      * Output: left columns + `interp_<rightValue>` (double). */
     def interpolateCubicAt(right: DataFrame, keyCol: String, leftTs: String,
         rightTs: String, rightValue: String): DataFrame = {
       requireFreeNames("interpolateCubicAt",

@@ -83,6 +83,34 @@ class StencilSpec extends AnyFunSuite {
     assert(math.abs(got(2).get - 20.0) < 1e-9)
   }
 
+  test("interpolateCubicAt: 3-event golden — boundary tangents are one-sided differences") {
+    // events (0s,0), (10s,10), (30s,40): every segment touches a series
+    // boundary, so each gets exactly ONE one-sided tangent (scaladoc'd
+    // convention). Expected values computed from the documented Hermite
+    // formula by hand:
+    //  seg [0,10]:  m0 = (10-0)/10 = 1 (one-sided), m1 = (40-0)/30 = 4/3
+    //  seg [10,30]: m0 = (40-0)/30 = 4/3,  m1 = (40-10)/20 = 1.5 (one-sided)
+    val ev = Seq(
+      ("a", "2024-01-01 00:00:00", 0.0),
+      ("a", "2024-01-01 00:00:10", 10.0),
+      ("a", "2024-01-01 00:00:30", 40.0)
+    ).toDF("k", "ts", "value").withColumn("ts", col("ts").cast("timestamp"))
+    val probes = Seq(
+      ("a", "2024-01-01 00:00:05", 1), // mid first segment
+      ("a", "2024-01-01 00:00:20", 2)  // mid second segment
+    ).toDF("k", "pts", "pid").withColumn("pts", col("pts").cast("timestamp"))
+    def hermite(s: Double, h: Double, y0: Double, y1: Double, m0: Double, m1: Double): Double =
+      (2 * s * s * s - 3 * s * s + 1) * y0 + (s * s * s - 2 * s * s + s) * h * m0 +
+        (-2 * s * s * s + 3 * s * s) * y1 + (s * s * s - s * s) * h * m1
+    val want1 = hermite(0.5, 10e6, 0.0, 10.0, 1.0 / 1e6, (4.0 / 3.0) / 1e6)
+    val want2 = hermite(0.5, 20e6, 10.0, 40.0, (4.0 / 3.0) / 1e6, 1.5 / 1e6)
+    val got = probes.interpolateCubicAt(ev, "k", "pts", "ts", "value")
+      .select("pid", "interp_value").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1) - want1) < 1e-9, s"seg1: got ${got(1)}, want $want1")
+    assert(math.abs(got(2) - want2) < 1e-9, s"seg2: got ${got(2)}, want $want2")
+  }
+
   test("union-window operators reject left frames using their reserved column names") {
     val ev = Seq(("a", "2024-01-01 00:00:00", 1.0))
       .toDF("k", "ts", "value").withColumn("ts", col("ts").cast("timestamp"))
