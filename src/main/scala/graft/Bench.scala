@@ -82,10 +82,16 @@ object Bench {
       // a generator-based mini warm-up leaves all of that cold (the
       // first timed replays ran 2-4x slower than steady state)
       Pipeline.replaySegments(spark, logDir, s"$dir/warm", epochs)
+      // SPARK_GRAFT_CDC_COMPACT=N enables the per-bucket incremental
+      // compaction cadence INSIDE the timed replay (delta-group
+      // threshold N) — the bench row showing the hot path stays within
+      // noise while file counts stay bounded; 0 (default) = off
+      val compactEvery = sys.env.getOrElse("SPARK_GRAFT_CDC_COMPACT", "0").toInt
       (1 to 3).map { run =>
         val audit = new Audit(s"$dir/audit$run")
         val t0 = System.nanoTime()
-        val stats = Pipeline.replaySegments(spark, logDir, s"$dir/t$run", epochs, Some(audit))
+        val stats = Pipeline.replaySegments(spark, logDir, s"$dir/t$run", epochs,
+          Some(audit), compactEvery = compactEvery)
         val wallSec = (System.nanoTime() - t0) / 1e9
         System.err.println(s"[bench] cores=$cores run=$run epoch wallMs: " +
           stats.map(_.wallMs).mkString(", ") + f" total=$wallSec%.1fs")
@@ -363,7 +369,7 @@ object Bench {
         f""","events_per_sec_local8":$thr8%.0f,"events_per_sec_local32":$thr32%.0f,"runs_local8":${arr(runs8)},"runs_local32":${arr(runs32)},"scaling_efficiency_8_to_32":$eff%.3f"""
       else ""
     val cdcJson =
-      f"""{"events":$cdcEvents,"epochs":$cdcEpochs,"payload":"${if (typedLog) "typed" else "json"}","headline_rungs":[$loT,$hiT],"events_per_sec_t$loT":$thr8%.0f,"events_per_sec_t$hiT":$thr32%.0f,"runs_t$loT":${arr(runs8)},"runs_t$hiT":${arr(runs32)},"min_t$loT":${runs8.min}%.0f,"max_t$loT":${runs8.max}%.0f,"min_t$hiT":${runs32.min}%.0f,"max_t$hiT":${runs32.max}%.0f,"scaling_efficiency":$eff%.3f,"hw_cpu_scaling_ceiling":$hwCeiling%.3f,"hw_mem_bw_scaling_ceiling":$memCeiling%.3f,"scaling_efficiency_vs_mem_ceiling":${if (memCeiling > 0) eff / memCeiling else -1.0}%.3f,"mem_bw_gbps_t$loT":${mem8 / 1e9}%.1f,"mem_bw_gbps_t$hiT":${mem32 / 1e9}%.1f$legacy$ladderJson}"""
+      f"""{"events":$cdcEvents,"epochs":$cdcEpochs,"payload":"${if (typedLog) "typed" else "json"}","compact_every":${sys.env.getOrElse("SPARK_GRAFT_CDC_COMPACT", "0")},"headline_rungs":[$loT,$hiT],"events_per_sec_t$loT":$thr8%.0f,"events_per_sec_t$hiT":$thr32%.0f,"runs_t$loT":${arr(runs8)},"runs_t$hiT":${arr(runs32)},"min_t$loT":${runs8.min}%.0f,"max_t$loT":${runs8.max}%.0f,"min_t$hiT":${runs32.min}%.0f,"max_t$hiT":${runs32.max}%.0f,"scaling_efficiency":$eff%.3f,"hw_cpu_scaling_ceiling":$hwCeiling%.3f,"hw_mem_bw_scaling_ceiling":$memCeiling%.3f,"scaling_efficiency_vs_mem_ceiling":${if (memCeiling > 0) eff / memCeiling else -1.0}%.3f,"mem_bw_gbps_t$loT":${mem8 / 1e9}%.1f,"mem_bw_gbps_t$hiT":${mem32 / 1e9}%.1f$legacy$ladderJson}"""
     val json =
       f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"queries_failed":$failed,"sf":"$sfDir","cdc":$cdcJson}"""
     // stdout (driver parse) AND a bare file (survives any log wrapping);

@@ -6,7 +6,9 @@ import graft.cdc.{GenConfig, Pipeline}
   * manual single-parallelism probes; graft.Bench writes its own). */
 object BenchFixture {
   def main(args: Array[String]): Unit = {
-    val Array(events, epochs, logDir) = args
+    val Array(events, epochs, logDir) = args.take(3)
+    // optional 4th arg "typed": struct-payload segment layout
+    val typed = args.length > 3 && args(3) == "typed"
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -16,7 +18,7 @@ object BenchFixture {
     spark.sparkContext.setLogLevel("WARN")
     Pipeline.writeLogSegments(spark,
       GenConfig(numEvents = events.toLong, numRepos = 5000L, pathsPerRepo = 100L),
-      logDir, epochs.toInt, filesPerSegment = 0)
+      logDir, epochs.toInt, filesPerSegment = 0, typedPayload = typed)
     spark.stop()
   }
 }

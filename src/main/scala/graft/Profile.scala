@@ -160,6 +160,24 @@ object Profile {
         time("full applyEpoch incl write")(
           Apply.applyEpoch(spark, table, log, 0L))
         time("read back (merge-on-read)")(noop(table.read(spark)))
+
+      // per-stage split over PRE-MATERIALIZED segments (either payload
+      // layout): scan / scan+reduce / scan+reduce+normalize, no lake
+      // write — the reduce/normalize isolation the typed-vs-JSON
+      // comparison needs. usage: cdcseg <segDir> (e.g. .../log/seg-00000)
+      case "cdcseg" =>
+        val segDir = args(1)
+        val typed = spark.read.parquet(segDir)
+          .schema("after").dataType.isInstanceOf[org.apache.spark.sql.types.StructType]
+        val schema = if (typed) Pipeline.typedEnvelopeSchema else Pipeline.envelopeSchema
+        println(s"[profile] layout=${if (typed) "typed" else "json"} seg=$segDir")
+        def batch() = spark.read.schema(schema).parquet(segDir)
+          .select("repo", "path", "op", "lsn", "ts", "after")
+        (1 to 3).foreach { i =>
+          time(s"run$i scan only")(noop(batch()))
+          time(s"run$i scan+reduce")(noop(Apply.reduce(batch())))
+          time(s"run$i scan+reduce+normalize")(noop(Apply.normalize(Apply.reduce(batch()), 4)))
+        }
     }
     spark.stop()
   }

@@ -124,9 +124,15 @@ object Pipeline {
     val table = new LakeTable(tableDir)
     val stats = (0 until segments).map { s =>
       val segDir = f"$logDir/seg-$s%05d"
-      // schema from the segment's own footers: JSON-payload and typed
-      // (struct-payload) segment layouts both replay through here
-      val batch = spark.read.parquet(segDir)
+      // sniff the layout from the footer (one driver-side read), then
+      // scan under the matching EXPLICIT envelope schema — an
+      // inference-schema read would surface parquet timestamps as NTZ
+      // (Spark 4) and push the whole apply pipeline off its typed plan
+      val typed = spark.read.parquet(segDir)
+        .schema("after").dataType.isInstanceOf[StructType]
+      val batch = spark.read
+        .schema(if (typed) typedEnvelopeSchema else envelopeSchema)
+        .parquet(segDir)
       // era probe from footer stats: O(files) metadata, no data scan
       val hint = ParquetStats.maxInt(spark, segDir, "schemaVersion")
       val st = Apply.applyEpoch(spark, table, batch, s.toLong, audit, versionHint = hint)

@@ -11,9 +11,10 @@ done
 LOG=/dev/shm/graft-manual/log
 rm -rf /dev/shm/graft-manual
 # fixture writer (any core count; untimed)
+# GRAFT_TYPED=1 writes the typed struct-payload segment layout
 taskset -c 0-31 java -XX:ActiveProcessorCount=32 $AO -Xmx16g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "$CP" graft.BenchFixture "$EVENTS" "$EPOCHS" "$LOG" || exit 1
+  -cp "$CP" graft.BenchFixture "$EVENTS" "$EPOCHS" "$LOG" ${GRAFT_TYPED:+typed} || exit 1
 exec taskset -c 0-$((CORES-1)) java -XX:ActiveProcessorCount=$CORES $AO \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC "$@" \
   -cp "$CP" graft.Bench cdc-only $CORES $EVENTS $EPOCHS "$LOG"
