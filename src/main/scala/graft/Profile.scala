@@ -178,6 +178,34 @@ object Profile {
           time(s"run$i scan+reduce")(noop(Apply.reduce(batch())))
           time(s"run$i scan+reduce+normalize")(noop(Apply.normalize(Apply.reduce(batch()), 4)))
         }
+
+      // latest() cost vs retained-manifest count, HEAD hint vs listing
+      // fallback. usage: lakehead [manifests] [calls]
+      case "lakehead" =>
+        val n = args.lift(1).map(_.toInt).getOrElse(20000)
+        val calls = args.lift(2).map(_.toInt).getOrElse(2000)
+        val dir = java.nio.file.Files.createTempDirectory("prof-head").toString
+        val table = new LakeTable(s"$dir/t", numBuckets = 4)
+        import org.apache.spark.sql.functions.lit
+        val one = spark.range(1).select(
+          lit("r").as("repo"), lit("p").as("path"), lit("U").as("op"),
+          lit(0L).as("lsn"), lit(new java.sql.Timestamp(0L)).as("ts"),
+          lit("c").as("commit"), lit("en").as("lang"), lit("x").as("content"))
+        table.upsert(one, 0L, 1)
+        // clone the committed manifest to n retained versions (pure
+        // metadata replication — the listing cost is what's measured)
+        val mdir = java.nio.file.Paths.get(s"$dir/t/manifests")
+        val v1 = new String(java.nio.file.Files.readAllBytes(mdir.resolve("v000000001.json")), "UTF-8")
+        (2 to n).foreach { v =>
+          java.nio.file.Files.write(mdir.resolve(f"v$v%09d.json"),
+            v1.replace("\"version\" : 1", s""""version" : $v""").getBytes("UTF-8"))
+        }
+        java.nio.file.Files.write(mdir.resolve("HEAD"), n.toString.getBytes("UTF-8"))
+        time(s"$calls x latest() WITH head hint, $n retained manifests")(
+          (1 to calls).foreach(_ => assert(table.latest().get.version == n)))
+        java.nio.file.Files.delete(mdir.resolve("HEAD"))
+        time(s"$calls x latest() listing fallback, $n retained manifests")(
+          (1 to calls).foreach(_ => assert(table.latest().get.version == n)))
     }
     spark.stop()
   }
