@@ -48,6 +48,13 @@ object Graft {
       sinceVersion: Long, toVersion: Long): DataFrame =
     new LakeTable(tableDir).readChanges(spark, sinceVersion, toVersion)
 
+  /** Chunked fallback when the range crosses a compaction: unions the
+    * readable sub-ranges and names each rewrite boundary (resync-at-
+    * the-boundary contract — see [[graft.cdc.ChunkedChanges]]). */
+  def readTableChangesChunked(spark: SparkSession, tableDir: String,
+      sinceVersion: Long, toVersion: Long): graft.cdc.ChunkedChanges =
+    new LakeTable(tableDir).readChangesChunked(spark, sinceVersion, toVersion)
+
   /** Time-travel read: table state as of committed snapshot `version`
     * (Iceberg VERSION AS OF), reconstructed from manifest history. */
   def readTableVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame =
