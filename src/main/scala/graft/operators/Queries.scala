@@ -8,7 +8,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++
       CdcOps.all ++ MultimodalOps.all ++ ExtraOps.all ++ ToleranceOps.all ++
-      StencilOps.all ++ GeomOps.all
+      StencilOps.all ++ GeomOps.all ++ ScatterOps.all
 
   /** DuckDB oracle SQL — identical output column names to the Spark
     * queries (the driver's compare sorts columns by name and hashes
@@ -157,5 +157,6 @@ object Queries {
          GROUP BY c_custkey"""
   ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
     CdcOps.oracles ++ MultimodalOps.oracles ++ ExtraOps.oracles ++
-    ToleranceOps.oracles ++ StencilOps.oracles ++ GeomOps.oracles
+    ToleranceOps.oracles ++ StencilOps.oracles ++ GeomOps.oracles ++
+    ScatterOps.oracles
 }
