@@ -93,8 +93,14 @@ object Bench {
         val stats = Pipeline.replaySegments(spark, logDir, s"$dir/t$run", epochs,
           Some(audit), compactEvery = compactEvery)
         val wallSec = (System.nanoTime() - t0) / 1e9
-        System.err.println(s"[bench] cores=$cores run=$run epoch wallMs: " +
-          stats.map(_.wallMs).mkString(", ") + f" total=$wallSec%.1fs")
+        // apply-vs-maintenance split + the bounded-file-count evidence:
+        // wallMs covers applyEpoch only, so residual = compaction sweeps
+        // (+ footer probes); deltaGroups is the quantity the cadence caps
+        val applySec = stats.map(_.wallMs).sum / 1e3
+        val table = new LakeTable(s"$dir/t$run")
+        System.err.println(f"[bench] cores=$cores run=$run apply=$applySec%.1fs " +
+          f"residual=${wallSec - applySec}%.1fs deltaGroups=${table.deltaGroupCount} " +
+          s"epoch wallMs: ${stats.map(_.wallMs).mkString(", ")} " + f"total=$wallSec%.1fs")
         ChangeLogGen.physicalRows(cfg).toDouble / wallSec
       }
     } finally {
@@ -368,8 +374,14 @@ object Bench {
       if (loT == 8 && hiT == 32)
         f""","events_per_sec_local8":$thr8%.0f,"events_per_sec_local32":$thr32%.0f,"runs_local8":${arr(runs8)},"runs_local32":${arr(runs32)},"scaling_efficiency_8_to_32":$eff%.3f"""
       else ""
+    // a single-rung probe (loT == hiT) would duplicate every
+    // rung-parameterized key and fabricate eff/ceiling fields of 1.0 —
+    // emit only the one rung's fields in that case
+    val pairJson =
+      if (loT == hiT) ""
+      else f""","events_per_sec_t$hiT":$thr32%.0f,"runs_t$hiT":${arr(runs32)},"min_t$hiT":${runs32.min}%.0f,"max_t$hiT":${runs32.max}%.0f,"scaling_efficiency":$eff%.3f,"hw_cpu_scaling_ceiling":$hwCeiling%.3f,"hw_mem_bw_scaling_ceiling":$memCeiling%.3f,"scaling_efficiency_vs_mem_ceiling":${if (memCeiling > 0) eff / memCeiling else -1.0}%.3f,"mem_bw_gbps_t$hiT":${mem32 / 1e9}%.1f"""
     val cdcJson =
-      f"""{"events":$cdcEvents,"epochs":$cdcEpochs,"payload":"${if (typedLog) "typed" else "json"}","compact_every":${sys.env.getOrElse("SPARK_GRAFT_CDC_COMPACT", "0")},"headline_rungs":[$loT,$hiT],"events_per_sec_t$loT":$thr8%.0f,"events_per_sec_t$hiT":$thr32%.0f,"runs_t$loT":${arr(runs8)},"runs_t$hiT":${arr(runs32)},"min_t$loT":${runs8.min}%.0f,"max_t$loT":${runs8.max}%.0f,"min_t$hiT":${runs32.min}%.0f,"max_t$hiT":${runs32.max}%.0f,"scaling_efficiency":$eff%.3f,"hw_cpu_scaling_ceiling":$hwCeiling%.3f,"hw_mem_bw_scaling_ceiling":$memCeiling%.3f,"scaling_efficiency_vs_mem_ceiling":${if (memCeiling > 0) eff / memCeiling else -1.0}%.3f,"mem_bw_gbps_t$loT":${mem8 / 1e9}%.1f,"mem_bw_gbps_t$hiT":${mem32 / 1e9}%.1f$legacy$ladderJson}"""
+      f"""{"events":$cdcEvents,"epochs":$cdcEpochs,"payload":"${if (typedLog) "typed" else "json"}","compact_every":${sys.env.getOrElse("SPARK_GRAFT_CDC_COMPACT", "0")},"headline_rungs":[$loT,$hiT],"events_per_sec_t$loT":$thr8%.0f,"runs_t$loT":${arr(runs8)},"min_t$loT":${runs8.min}%.0f,"max_t$loT":${runs8.max}%.0f,"mem_bw_gbps_t$loT":${mem8 / 1e9}%.1f$pairJson$legacy$ladderJson}"""
     val json =
       f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"queries_failed":$failed,"sf":"$sfDir","cdc":$cdcJson}"""
     // stdout (driver parse) AND a bare file (survives any log wrapping);
