@@ -66,6 +66,13 @@ object Graft {
   def compactTable(spark: SparkSession, tableDir: String, minDeltas: Int): Set[Int] =
     new LakeTable(tableDir).compactBuckets(spark, minDeltas)
 
+  /** Table maintenance: migrate the table to `newBuckets` hash buckets
+    * (one state rewrite, atomic at the manifest commit; see
+    * [[graft.cdc.LakeTable.rebucket]]). Returns false iff the commit
+    * lost a CAS race — re-invoke to retry against the new snapshot. */
+  def rebucketTable(spark: SparkSession, tableDir: String, newBuckets: Int): Boolean =
+    new LakeTable(tableDir).rebucket(spark, newBuckets)
+
   /** Table maintenance: keep the newest `keep` snapshots, delete the
     * rest plus any data files no kept snapshot references (Iceberg
     * expire_snapshots + remove_orphan_files; single-writer vacuum). */
@@ -279,8 +286,14 @@ object Graft {
     }
 
     /** Sessionize: a gap longer than `gap` starts a new session;
-      * returns the input plus a per-key `session_id`. */
+      * returns the input plus a per-key `session_id`. The gap string is
+      * validated HERE (API boundary), not at plan analysis: a malformed
+      * interval fails fast with the offending value named. */
     def sessionize(keyCol: String, tsCol: String, gap: String): DataFrame = {
+      require(
+        org.apache.spark.sql.catalyst.util.IntervalUtils.safeStringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(gap)) != null,
+        s"sessionize gap '$gap' is not a valid interval (want e.g. '30 MINUTES')")
       val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
       val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       df.withColumn("_prev", lag(col(tsCol), 1).over(byKey))

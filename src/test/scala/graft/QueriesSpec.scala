@@ -25,6 +25,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize validates the gap at the API boundary, not at analysis") {
+    import graft.Graft._
+    import spark.implicits._
+    val df = Seq(("u1", "2024-01-01 00:00:00"), ("u1", "2024-01-01 02:00:00"))
+      .toDF("user_id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val e = intercept[IllegalArgumentException] {
+      df.sessionize("user_id", "ts", "30 PARSECS")
+    }
+    assert(e.getMessage.contains("30 PARSECS"))
+    val ok = df.sessionize("user_id", "ts", "30 MINUTES")
+      .select("session_id").as[Long].collect().sorted
+    assert(ok.toSeq == Seq(1L, 2L))
+  }
+
   test("every oracle key has a query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
