@@ -587,6 +587,54 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     }
   }
 
+  /** Online bucket-count migration — the Iceberg partition-spec
+    * evolution analogue for the bucket transform. A bucket count is
+    * chosen at table creation; at the 10^10-event design point the
+    * right count GROWS with the table (point lookups and per-bucket
+    * compaction both scan 1/numBuckets of the data), so a long-lived
+    * table needs a way to change it without downtime. Rewrites the
+    * current state into `newBuckets` buckets and commits a snapshot
+    * carrying the new count; every subsequent writer, reader,
+    * point-lookup and compaction derives its hashing from the manifest
+    * (bucketCount), so the switch is atomic at the commit.
+    *
+    * Contracts, all inherited from the existing commit discipline:
+    *  - CAS: a rebucket racing an epoch upsert loses and returns false
+    *    (its state was computed against a superseded snapshot); the
+    *    written files become vacuum candidates. Retry re-reads.
+    *  - Time travel: pre-rebucket snapshots read exactly as before
+    *    (readers never assume a global bucket count; only readKey
+    *    derives one, from the manifest it reads).
+    *  - Incremental reads: the commit is a base rewrite, so a range
+    *    crossing it is refused by readChanges and surfaced as a
+    *    resync boundary by readChangesChunked — same as compaction. */
+  def rebucket(spark: SparkSession, newBuckets: Int): Boolean = {
+    require(newBuckets > 0, s"rebucket: newBuckets must be positive, got $newBuckets")
+    val s = latest().getOrElse(
+      throw new IllegalStateException("rebucket: table has no committed snapshot"))
+    if (s.numBuckets == newBuckets) return true
+    val state = readAt(spark, Some(s)).withColumn("op", lit("U"))
+    val groupDir = s"data/${UUID.randomUUID().toString.take(12)}-base"
+    val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
+    val withBucket = state.select((cols.map(col) :+ bucketColFor(newBuckets)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      withBucket
+        .repartitionByRange(newBuckets, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$root/$groupDir")
+    } finally withBucket.unpersist(blocking = false)
+    fsyncTree(Paths.get(root, groupDir))
+    val wroteFiles = hasParquet(Paths.get(root, groupDir))
+    try {
+      commitManifest(Snapshot(
+        s.version + 1L, s.epochId, s.schemaVersion,
+        if (wroteFiles) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil, 0,
+        s.maxLsn, newBuckets))
+      true
+    } catch { case _: CommitConflictException => false }
+  }
+
   /** Bucket partitions a group actually wrote (directory listing —
     * O(buckets) metadata, no file opens). */
   private def groupBuckets(dir: String): Set[Int] = {
