@@ -25,9 +25,11 @@ object Graft {
     * op/lsn/ts/schemaVersion/repo/path/after) to the lake table at
     * `tableDir`. See graft.cdc.Apply for the job structure. */
   def applyChangeLog(spark: SparkSession, events: DataFrame, tableDir: String,
-      epochId: Long, auditDir: Option[String] = None, salted: Boolean = false): ApplyStats =
+      epochId: Long, auditDir: Option[String] = None, salted: Boolean = false,
+      dlqDir: Option[String] = None): ApplyStats =
     Apply.applyEpoch(spark, new LakeTable(tableDir), events, epochId,
-      auditDir.map(new Audit(_)), salted)
+      auditDir.map(new Audit(_)), salted,
+      dlq = dlqDir.map(new graft.cdc.DeadLetterQueue(_)))
 
   /** Current state of a lake table (merge-on-read reconstruction). */
   def readTable(spark: SparkSession, tableDir: String): DataFrame =

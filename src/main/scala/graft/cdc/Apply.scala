@@ -138,7 +138,8 @@ object Apply {
       audit: Option[Audit] = None,
       salted: Boolean = false,
       versionHint: Option[Int] = None,
-      adaptive: Option[AdaptiveSalt] = None): ApplyStats = {
+      adaptive: Option[AdaptiveSalt] = None,
+      dlq: Option[DeadLetterQueue] = None): ApplyStats = {
     val t0 = System.nanoTime()
 
     def t() = System.nanoTime()
@@ -175,10 +176,28 @@ object Apply {
       .select("repo", "path", "op", "lsn", "ts", "after")
       .observe(obs, metrics.head, metrics.tail: _*)
     val useSalt = salted || adaptive.exists(_.engaged)
-    val reduced = if (useSalt) saltedReduce(envelope) else reduce(envelope)
+    val reducedAll = if (useSalt) saltedReduce(envelope) else reduce(envelope)
+    // poison-pill quarantine (opt-in): classify POST-reduce — O(keys),
+    // one extra cached scan; an already-committed epoch (idempotent
+    // replay) skips both the quarantine write and the reduce job, same
+    // fast path as without a DLQ
+    val alreadyCommitted = dlq.isDefined && table.latest().exists(_.epochId >= epochId)
+    val (reduced, dlqCache) = dlq match {
+      case Some(q) if !alreadyCommitted =>
+        val typed = rawEvents.schema("after").dataType.isInstanceOf[StructType]
+        val withReason = reducedAll.withColumn("_dlq_reason", q.reasonCol(typed))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // quarantine lands BEFORE the manifest commit: a crash replays
+        // the epoch and overwrites the same deterministic set
+        q.write(epochId, withReason.filter(col("_dlq_reason").isNotNull))
+        (withReason.filter(col("_dlq_reason").isNull).drop("_dlq_reason"), Some(withReason))
+      case _ => (reducedAll, None)
+    }
     val normalized = normalize(reduced, batchVersion)
-    val commit = table.upsert(normalized, epochId, batchVersion,
-      batchMaxLsn = obs.get.get("max_lsn").collect { case l: Long => l }.getOrElse(-1L))
+    val commit =
+      try table.upsert(normalized, epochId, batchVersion,
+        batchMaxLsn = obs.get.get("max_lsn").collect { case l: Long => l }.getOrElse(-1L))
+      finally dlqCache.foreach(_.unpersist(blocking = false))
     val tUpsert = t()
 
     val inputRows =

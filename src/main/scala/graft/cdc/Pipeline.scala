@@ -56,7 +56,8 @@ object Pipeline {
       audit: Option[Audit] = None,
       compactEvery: Int = 0,
       salted: Boolean = false,
-      adaptive: Option[AdaptiveSalt] = None): Seq[ApplyStats] = {
+      adaptive: Option[AdaptiveSalt] = None,
+      dlq: Option[DeadLetterQueue] = None): Seq[ApplyStats] = {
     val table = new LakeTable(tableDir)
     val span = 2L * ChangeLogGen.physicalRows(cfg) + 2L * cfg.disorderWindow + 2L
     val chunk = math.max(span / epochs, 1L)
@@ -71,7 +72,7 @@ object Pipeline {
         ChangeLogGen.events(spark, cfg, Some((idLo, idHi))), cfg, epochs)
       val batch = window.filter(col("epoch") === e.toLong).drop("delivery", "epoch")
       val stats = Apply.applyEpoch(spark, table, batch, e.toLong, audit, salted,
-        adaptive = adaptive)
+        adaptive = adaptive, dlq = dlq)
       // incremental: only buckets with >= compactEvery live delta groups
       // rewrite (deltaGroupCount >= threshold is a cheap necessary
       // condition — per-bucket counts never exceed the group count)
@@ -120,7 +121,8 @@ object Pipeline {
       tableDir: String,
       segments: Int,
       audit: Option[Audit] = None,
-      compactEvery: Int = 0): Seq[ApplyStats] = {
+      compactEvery: Int = 0,
+      dlq: Option[DeadLetterQueue] = None): Seq[ApplyStats] = {
     val table = new LakeTable(tableDir)
     val stats = (0 until segments).map { s =>
       val segDir = f"$logDir/seg-$s%05d"
@@ -135,7 +137,8 @@ object Pipeline {
         .parquet(segDir)
       // era probe from footer stats: O(files) metadata, no data scan
       val hint = ParquetStats.maxInt(spark, segDir, "schemaVersion")
-      val st = Apply.applyEpoch(spark, table, batch, s.toLong, audit, versionHint = hint)
+      val st = Apply.applyEpoch(spark, table, batch, s.toLong, audit, versionHint = hint,
+        dlq = dlq)
       if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) {
         table.compactBuckets(spark, compactEvery)
         audit.foreach(_.compactAsync(spark))
@@ -199,7 +202,8 @@ object Pipeline {
       maxFilesPerTrigger: Int = 1,
       failAfterEpoch: Option[Long] = None,
       failBeforeEpoch: Option[Long] = None,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0,
+      dlq: Option[DeadLetterQueue] = None): Unit = {
     val table = new LakeTable(tableDir)
     val stream = spark.readStream
       .schema(envelopeSchema)
@@ -231,7 +235,7 @@ object Pipeline {
         val hint = ParquetStats.maxIntOfFiles(batch.sparkSession,
           sourceBatchFiles(batch.sparkSession, checkpointDir, epochId), "schemaVersion")
         Apply.applyEpoch(batch.sparkSession, table, batch, epochId, audit,
-          versionHint = hint)
+          versionHint = hint, dlq = dlq)
         if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) {
           table.compactBuckets(batch.sparkSession, compactEvery)
           audit.foreach(_.compactAsync(batch.sparkSession))
