@@ -576,14 +576,29 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       } finally withBucket.unpersist(blocking = false)
       fsyncTree(Paths.get(root, groupDir))
       val wroteFiles = hasParquet(Paths.get(root, groupDir))
-      // a compaction that loses the commit race ABORTS (its state was
-      // computed against a superseded snapshot); the written base files
-      // stay unreferenced and become vacuum candidates
-      try commitManifest(Snapshot(
-        s.version + 1L, s.epochId, s.schemaVersion,
-        if (wroteFiles) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil, 0,
-        s.maxLsn, s.numBuckets))
-      catch { case _: CommitConflictException => return }
+      val newBase =
+        if (wroteFiles) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil
+      // validated commit retry — same RewriteFiles semantics as
+      // compactBuckets: delta groups appended after `s` stack on top of
+      // the new base (higher LSNs win); any other interleaving aborts
+      var head = s
+      var done = false
+      while (!done) {
+        val appended = head.groups.filterNot(h => s.groups.exists(_.dir == h.dir))
+        val groups = appended ++ newBase
+        try {
+          commitManifest(Snapshot(
+            head.version + 1L, head.epochId, head.schemaVersion, groups,
+            groups.count(_.kind == "delta"), head.maxLsn, head.numBuckets))
+          done = true
+        } catch {
+          case _: CommitConflictException =>
+            latest() match {
+              case Some(h) if h.version > head.version && appendOnlySince(s, h) => head = h
+              case _ => return
+            }
+        }
+      }
     }
   }
 
@@ -691,17 +706,59 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
           if ((liveBuckets -- hot).isEmpty) None // fully superseded
           else Some(g.copy(excludedBuckets = g.excludedBuckets ++ (hot & liveBuckets)))
         }
-        val groups = kept ++
-          (if (wrote) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil)
-        // lost race -> abort; exclusions were computed against a
-        // superseded snapshot (see compact)
-        try commitManifest(Snapshot(
-          s.version + 1L, s.epochId, s.schemaVersion, groups,
-          groups.count(_.kind == "delta"), s.maxLsn, s.numBuckets))
-        catch { case _: CommitConflictException => return Set.empty }
-        hot
+        val newBase =
+          if (wrote) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil
+
+        // Commit with Iceberg-style VALIDATED RETRY (RewriteFiles
+        // semantics) rather than abort-on-any-conflict: at the 10^10
+        // design point a sweep takes minutes while epoch upserts commit
+        // every few seconds, so a sweep whose read->commit window must
+        // not span any upsert would never land. The rewrite stays valid
+        // against a newer head iff the head only APPENDED delta groups
+        // since `s` (no interleaved compaction/rebucket touched s's
+        // groups): the new base is exactly state(s) for the hot buckets,
+        // and deltas appended after s carry higher LSNs, so stacking
+        // them on top of the base reconstructs the same LWW state. On
+        // that condition the sweep re-commits METADATA-ONLY (data files
+        // are immutable); otherwise it aborts and its files become
+        // vacuum candidates.
+        var head = s
+        while (true) {
+          val appended = head.groups.filterNot(h => s.groups.exists(_.dir == h.dir))
+          val groups = kept ++ appended ++ newBase
+          try {
+            commitManifest(Snapshot(
+              head.version + 1L, head.epochId, head.schemaVersion, groups,
+              groups.count(_.kind == "delta"), head.maxLsn, head.numBuckets))
+            return hot
+          } catch {
+            case _: CommitConflictException =>
+              val h = latest().getOrElse(return Set.empty)
+              // no forward progress (a manifest file exists at a version
+              // the head does not acknowledge — doctored or torn
+              // metadata) or a non-append interleaving: abort
+              if (h.version <= head.version || !appendOnlySince(s, h)) return Set.empty
+              head = h
+          }
+        }
+        hot // unreachable
     }
   }
+
+  /** True iff `head` evolved from `s` by APPENDING delta groups only:
+    * every group of `s` survives in `head` with identical kind and
+    * exclusions, nothing but deltas was added, and the bucketing is
+    * unchanged. This is the validity condition for re-committing a
+    * compaction computed at `s` on top of `head` (see compactBuckets) —
+    * a missing/re-excluded group means another compaction absorbed
+    * rows the rewrite also holds (duplicate rows at equal LSN), and a
+    * bucket-count change means appended deltas use a different
+    * hashing; both are unreconcilable metadata-only. */
+  private def appendOnlySince(s: Snapshot, head: Snapshot): Boolean =
+    head.numBuckets == s.numBuckets &&
+      s.groups.forall(g => head.groups.exists(h =>
+        h.dir == g.dir && h.kind == g.kind && h.excludedBuckets == g.excludedBuckets)) &&
+      head.groups.filterNot(h => s.groups.exists(_.dir == h.dir)).forall(_.kind == "delta")
 
   def deltaGroupCount: Int = latest().map(_.totalDeltaGroups).getOrElse(0)
 

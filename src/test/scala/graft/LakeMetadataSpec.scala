@@ -185,6 +185,35 @@ class LakeMetadataSpec extends AnyFunSuite {
     assert(stateMap(table.read(spark)) == before)
   }
 
+  test("a compaction racing an append-only commit retries metadata-only and lands") {
+    val dir = TestSpark.tmpDir("cdc-casr") + "/t"
+    val keys = (0 until 20).map(i => (s"r$i", "a"))
+    val table = new LakeTable(dir, numBuckets = 4)
+    (0 until 3).foreach(e => table.upsert(mkBatch(keys, 100L * e), e.toLong, 1))
+    val before = stateMap(table.read(spark))
+    val v = table.latest().get.version
+    // interleave an epoch-commit-shaped contender at v+1: same groups,
+    // bumped version + epoch — byte-for-byte what an EMPTY epoch's
+    // upsert publishes. The sweep targets v+1, hits EEXIST, validates
+    // the head is append-only since its read snapshot, and must
+    // re-commit METADATA-ONLY at v+2 (no data rewrite re-run).
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mpath = Paths.get(dir, "manifests", f"v$v%09d.json")
+    val node = mapper.readTree(Files.readAllBytes(mpath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("version", v + 1L)
+    node.put("epochId", 3L)
+    Files.write(Paths.get(dir, "manifests", f"v${v + 1}%09d.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    assert(table.compactBuckets(spark, minDeltas = 2).nonEmpty,
+      "sweep must retry past an append-only contender, not abort")
+    val head = table.latest().get
+    assert(head.version == v + 2 && head.epochId == 3L,
+      s"retry must land on top of the contender inheriting its epoch high-water mark, got $head")
+    assert(stateMap(table.read(spark)) == before)
+    assert(head.totalDeltaGroups == 0, "the sweep absorbed every delta group")
+  }
+
   test("audit compaction crash between publish and delete does not double-count") {
     import org.apache.spark.sql.SaveMode
     val dir = TestSpark.tmpDir("cdc-audit-crash")
