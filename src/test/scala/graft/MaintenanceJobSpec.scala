@@ -91,4 +91,57 @@ class MaintenanceJobSpec extends AnyFunSuite {
     val want = Oracle.fold(spark, ChangeLogGen.events(spark, cfg).drop("delivery"))
     assertSameState(table.read(spark), want)
   }
+
+  test("replay + maintenance sweeps + vacuum all racing: exact state, nothing fails") {
+    val cfg = GenConfig(numEvents = 60000L, numRepos = 40L, pathsPerRepo = 15L)
+    val dir = TestSpark.tmpDir("maint-triad")
+    val tableDir = s"$dir/t"
+    val epochs = 8
+
+    @volatile var stop = false
+    val sweepCommits = new AtomicInteger(0)
+    val vacuumRuns = new AtomicInteger(0)
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    def loop(name: String, pauseMs: Long)(body: => Unit): Thread = {
+      val t = new Thread(() => {
+        while (!stop) {
+          try body catch { case e: Throwable => failures.add(e) }
+          Thread.sleep(pauseMs)
+        }
+      }, name)
+      t.setDaemon(true); t.start(); t
+    }
+    // the full operational triad of a long-lived 10^10-event table, as
+    // three independent jobs sharing nothing but the table root: the
+    // stream (epoch upserts), the compactor (validated-retry sweeps),
+    // and the vacuum (default 10-min grace shields every in-flight
+    // write; keep=3 prunes manifests eagerly enough to race the others)
+    val sweeper = loop("sweeper", 20L) {
+      if (new LakeTable(tableDir).compactBuckets(spark, minDeltas = 2).nonEmpty)
+        sweepCommits.incrementAndGet()
+    }
+    val vacuumer = loop("vacuum", 50L) {
+      new LakeTable(tableDir).expireSnapshots(keep = 3)
+      vacuumRuns.incrementAndGet()
+    }
+    try Pipeline.runBatchEpochs(spark, cfg, tableDir, epochs)
+    finally { stop = true; sweeper.join(60000L); vacuumer.join(60000L) }
+
+    assert(failures.isEmpty, s"a racing job threw: ${Option(failures.peek()).getOrElse("")}")
+    val table = new LakeTable(tableDir)
+    assert(table.latest().map(_.epochId).contains((epochs - 1).toLong))
+    assert(sweepCommits.get >= 1, "no sweep committed — the race never happened")
+    assert(vacuumRuns.get >= 1)
+    // vacuum visibly pruned: retained manifests < total commits made
+    val manifests = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(tableDir, "manifests"))) { st =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator()).asScala
+        .count(_.getFileName.toString.endsWith(".json"))
+    }
+    assert(manifests < epochs + sweepCommits.get,
+      s"vacuum never pruned: $manifests manifests retained of ${epochs + sweepCommits.get}+ commits")
+
+    val want = Oracle.fold(spark, ChangeLogGen.events(spark, cfg).drop("delivery"))
+    assertSameState(table.read(spark), want)
+  }
 }
