@@ -189,7 +189,7 @@ object Apply {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // quarantine lands BEFORE the manifest commit: a crash replays
         // the epoch and overwrites the same deterministic set
-        q.write(epochId, withReason.filter(col("_dlq_reason").isNotNull))
+        q.write(epochId, withReason.filter(col("_dlq_reason").isNotNull), batchVersion)
         (withReason.filter(col("_dlq_reason").isNull).drop("_dlq_reason"), Some(withReason))
       case _ => (reducedAll, None)
     }

@@ -1,6 +1,7 @@
 package graft.cdc
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -59,13 +60,20 @@ final class DeadLetterQueue(val root: String) {
 
   /** Overwrite epoch `epochId`'s quarantine set. `bad` must carry the
     * envelope columns plus `_dlq_reason`. Rare rows by contract —
-    * coalesce(1) keeps the side table one small file per epoch. */
-  private[cdc] def write(epochId: Long, bad: DataFrame): Unit = {
+    * coalesce(1) keeps the side table one small file per epoch.
+    * `schemaVersion` rides along so a later replay can re-apply the
+    * row under its era: the apply hot path prunes the column before
+    * the reduce, so rows missing it are stamped with the epoch's
+    * probed `batchVersion` (the era the epoch would have written). */
+  private[cdc] def write(epochId: Long, bad: DataFrame, batchVersion: Int): Unit = {
     val afterJson =
       if (bad.schema("after").dataType.isInstanceOf[StructType]) to_json(col("after"))
       else col("after")
+    val sv =
+      if (bad.columns.contains("schemaVersion")) col("schemaVersion")
+      else lit(batchVersion)
     bad.select(col("repo"), col("path"), col("op"), col("lsn"), col("ts"),
-        afterJson.as("after"), col("_dlq_reason").as("reason"))
+        sv.as("schemaVersion"), afterJson.as("after"), col("_dlq_reason").as("reason"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/epoch=$epochId")
   }
@@ -73,7 +81,8 @@ final class DeadLetterQueue(val root: String) {
   val schema: StructType = StructType(Seq(
     StructField("repo", StringType), StructField("path", StringType),
     StructField("op", StringType), StructField("lsn", LongType),
-    StructField("ts", TimestampType), StructField("after", StringType),
+    StructField("ts", TimestampType), StructField("schemaVersion", IntegerType),
+    StructField("after", StringType),
     StructField("reason", StringType)))
 
   /** All quarantined rows, with the `epoch` partition column. Empty
@@ -89,4 +98,76 @@ final class DeadLetterQueue(val root: String) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withEpoch)
     else spark.read.schema(withEpoch).parquet(root) // epoch= dirs -> partition col
   }
+
+  /** Requeue after a fix — the Debezium "correct the record, resubmit"
+    * flow: re-classify every quarantined row under the CURRENT
+    * classifier (the fix may be an edited quarantine row or an evolved
+    * registry), apply the now-clean rows as ONE fresh epoch on top of
+    * the table's high-water mark, and rewrite the quarantine to retain
+    * only still-poisoned rows.
+    *
+    * Ordering is commit-then-prune: a crash between the two replays
+    * the same rows once more — at-least-once requeue whose
+    * re-application is STATE-idempotent (identical (key, lsn) rows;
+    * the lake's global max_by(lsn) reconstruction is insensitive to
+    * duplicates). The same LWW rule means a requeued row with an old
+    * LSN can never clobber newer table state — it simply loses the
+    * reconstruction, which is exactly what "the lake never needed it"
+    * should mean. Null-key rows are permanently unreplayable and stay
+    * quarantined. Driver-side epoch iteration is fine by the DLQ's
+    * own contract: quarantined rows are rare.
+    */
+  def replay(spark: SparkSession, table: LakeTable): DlqReplayStats = {
+    val all = read(spark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val classified = all.withColumn("_dlq_reason", reasonCol(typedAfter = false))
+      val clean = classified.filter(col("_dlq_reason").isNull)
+      // the still-poisoned set is MATERIALIZED to the driver before any
+      // prune: the prune below overwrites the very directories the lazy
+      // frame reads, so a cache eviction mid-loop would rescan mutated
+      // dirs. Rare rows by the DLQ's own contract, so this is tiny.
+      val stillRows = classified.filter(col("_dlq_reason").isNotNull)
+        .drop("_dlq_reason").collect()
+      val cleanEpochs = clean.select("epoch").distinct().collect().map(_.getLong(0))
+      if (cleanEpochs.isEmpty)
+        return DlqReplayStats(applied = 0L, remaining = stillRows.length.toLong, epoch = None)
+
+      val epochId = table.latest().map(_.epochId + 1L).getOrElse(0L)
+      val batch = clean.drop("epoch", "reason", "_dlq_reason")
+      val stats = Apply.applyEpoch(spark, table, batch, epochId)
+      // exact requeued-key count (cheap here: DLQ rows are rare by
+      // contract; the hot path's ApplyStats only approximates this)
+      val requeued =
+        if (stats.committed) batch.select("repo", "path").distinct().count() else 0L
+
+      // prune only partitions that lost rows; drop a partition that
+      // emptied (Files walk delete), rewrite one that still has poison —
+      // from the collected rows, never from a frame over the dirs
+      val epochIdx = all.columns.indexOf("epoch")
+      cleanEpochs.foreach { e =>
+        val keep = stillRows.filter(r => !r.isNullAt(epochIdx) && r.getLong(epochIdx) == e)
+        val dir = Paths.get(root, s"epoch=$e")
+        if (keep.isEmpty) {
+          if (Files.isDirectory(dir)) {
+            val files = java.nio.file.Files.walk(dir)
+            try files.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+            finally files.close()
+          }
+        } else {
+          val rows = java.util.Arrays.asList(keep.map(r =>
+            org.apache.spark.sql.Row.fromSeq(
+              schema.fieldNames.toSeq.map(n => r.get(all.columns.indexOf(n))))): _*)
+          spark.createDataFrame(rows, schema)
+            .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+        }
+      }
+      DlqReplayStats(applied = requeued, remaining = stillRows.length.toLong, epoch = Some(epochId))
+    } finally all.unpersist(blocking = false)
+  }
 }
+
+/** `applied` = keys upserted by the replay epoch (0 when nothing was
+  * replayable), `remaining` = rows still quarantined afterwards,
+  * `epoch` = the fresh epoch id the replay committed under. */
+final case class DlqReplayStats(applied: Long, remaining: Long, epoch: Option[Long])

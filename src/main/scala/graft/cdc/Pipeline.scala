@@ -203,7 +203,8 @@ object Pipeline {
       failAfterEpoch: Option[Long] = None,
       failBeforeEpoch: Option[Long] = None,
       compactEvery: Int = 0,
-      dlq: Option[DeadLetterQueue] = None): Unit = {
+      dlq: Option[DeadLetterQueue] = None,
+      adaptive: Option[AdaptiveSalt] = None): Unit = {
     val table = new LakeTable(tableDir)
     val stream = spark.readStream
       .schema(envelopeSchema)
@@ -235,7 +236,7 @@ object Pipeline {
         val hint = ParquetStats.maxIntOfFiles(batch.sparkSession,
           sourceBatchFiles(batch.sparkSession, checkpointDir, epochId), "schemaVersion")
         Apply.applyEpoch(batch.sparkSession, table, batch, epochId, audit,
-          versionHint = hint, dlq = dlq)
+          versionHint = hint, adaptive = adaptive, dlq = dlq)
         if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) {
           table.compactBuckets(batch.sparkSession, compactEvery)
           audit.foreach(_.compactAsync(batch.sparkSession))

@@ -96,6 +96,72 @@ class DlqSpec extends AnyFunSuite {
     val df = dlq.read(spark)
     assert(df.isEmpty)
     assert(df.columns.toSeq ==
-      Seq("repo", "path", "op", "lsn", "ts", "after", "reason", "epoch"))
+      Seq("repo", "path", "op", "lsn", "ts", "schemaVersion", "after", "reason", "epoch"))
+  }
+
+  test("replay requeues fixed rows as a fresh epoch; LWW never clobbers; unfixables stay") {
+    val base = TestSpark.tmpDir("graft-dlq-r")
+    val table = new LakeTable(s"$base/table")
+    val dlq = new DeadLetterQueue(s"$base/dlq")
+    // epoch 0: clean pA; malformed pB; null-key (permanently unreplayable)
+    val e0 = Seq(
+      ("U", 1L, ts(1), 1, "r1", "pA", null: String, json(1)),
+      ("U", 2L, ts(2), 1, "r1", "pB", null: String, "{broken"),
+      ("U", 3L, ts(3), 1, "r1", null: String, null: String, json(3)))
+      .toDF("op", "lsn", "ts", "schemaVersion", "repo", "path", "before", "after")
+    // epoch 1: unknown-op pC at lsn 4; then a CLEAN higher-LSN pC update
+    // lands in epoch 2 — the replayed (fixed) lsn-4 row must NOT clobber
+    val e1 = Seq(("X", 4L, ts(4), 1, "r1", "pC", null: String, json(4)))
+      .toDF("op", "lsn", "ts", "schemaVersion", "repo", "path", "before", "after")
+    val e2 = Seq(("U", 9L, ts(9), 1, "r1", "pC", null: String, json(9)))
+      .toDF("op", "lsn", "ts", "schemaVersion", "repo", "path", "before", "after")
+    Seq(e0, e1, e2).zipWithIndex.foreach { case (env, e) =>
+      Apply.applyEpoch(spark, table, env, e.toLong, versionHint = Some(1), dlq = Some(dlq))
+    }
+    assert(dlq.read(spark).count() == 3)
+    assert(table.latest().get.epochId == 2L)
+
+    // the Debezium flow: the operator edits the quarantined records in
+    // place — pB's JSON repaired, pC's op corrected — and resubmits
+    def fixPartition(epoch: Long)(fix: org.apache.spark.sql.Row => (String, String)): Unit = {
+      val dir = s"$base/dlq/epoch=$epoch"
+      val rows = spark.read.parquet(dir).collect().toSeq
+      val fixed = rows.map { r =>
+        val (op, after) = fix(r)
+        (r.getString(0), r.getString(1), op, r.getLong(3), r.getTimestamp(4),
+          r.getInt(5), after, r.getString(7))
+      }
+      fixed.toDF("repo", "path", "op", "lsn", "ts", "schemaVersion", "after", "reason")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    fixPartition(0L) { r =>
+      (r.getString(2), if (r.getString(1) == "pB") json(2) else r.getString(6))
+    }
+    fixPartition(1L)(r => ("U", r.getString(6)))
+
+    val res = dlq.replay(spark, table)
+    assert(res.applied == 2L, s"expected 2 requeued keys, got $res")
+    assert(res.remaining == 1L, s"null-key row must stay quarantined: $res")
+    assert(res.epoch.contains(3L), s"replay must commit as the next epoch: $res")
+
+    val state = table.read(spark).select("path", "lsn", "content").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(state == Map(
+      "pA" -> (1L, "body1"),
+      "pB" -> (2L, "body2"),       // requeued fix applied
+      "pC" -> (9L, "body9")),      // old-LSN requeue LOSES the LWW — no clobber
+      s"lake state wrong after replay: $state")
+
+    // pruning: epoch 1 emptied (directory gone), epoch 0 keeps only the
+    // null-key row
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$base/dlq/epoch=1")))
+    val left = dlq.read(spark).collect()
+    assert(left.length == 1 && left(0).getString(7) == "null_key")
+
+    // replay is idempotent once drained of fixables
+    val res2 = dlq.replay(spark, table)
+    assert(res2.applied == 0L && res2.remaining == 1L && res2.epoch.isEmpty)
+    assert(table.latest().get.epochId == 3L)
   }
 }
