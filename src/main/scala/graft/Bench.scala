@@ -87,11 +87,16 @@ object Bench {
       // threshold N) — the bench row showing the hot path stays within
       // noise while file counts stay bounded; 0 (default) = off
       val compactEvery = sys.env.getOrElse("SPARK_GRAFT_CDC_COMPACT", "0").toInt
+      // SPARK_GRAFT_CDC_ADAPTIVE=<threshold> attaches the skew
+      // controller (its approx_count_distinct observation rides the
+      // same single pass) — the A/B row for "the controller is free
+      // when it does not trip / what salting costs when it does"
+      val adaptive = sys.env.get("SPARK_GRAFT_CDC_ADAPTIVE").map(t => new AdaptiveSalt(t.toDouble))
       (1 to 3).map { run =>
         val audit = new Audit(s"$dir/audit$run")
         val t0 = System.nanoTime()
         val stats = Pipeline.replaySegments(spark, logDir, s"$dir/t$run", epochs,
-          Some(audit), compactEvery = compactEvery)
+          Some(audit), compactEvery = compactEvery, adaptive = adaptive)
         val wallSec = (System.nanoTime() - t0) / 1e9
         // apply-vs-maintenance split + the bounded-file-count evidence:
         // wallMs covers applyEpoch only, so residual = compaction sweeps
@@ -100,7 +105,8 @@ object Bench {
         val table = new LakeTable(s"$dir/t$run")
         System.err.println(f"[bench] cores=$cores run=$run apply=$applySec%.1fs " +
           f"residual=${wallSec - applySec}%.1fs deltaGroups=${table.deltaGroupCount} " +
-          s"epoch wallMs: ${stats.map(_.wallMs).mkString(", ")} " + f"total=$wallSec%.1fs")
+          s"epoch wallMs: ${stats.map(_.wallMs).mkString(", ")} " + f"total=$wallSec%.1fs" +
+          adaptive.map(a => s" adaptiveEngaged=${a.engaged}").getOrElse(""))
         ChangeLogGen.physicalRows(cfg).toDouble / wallSec
       }
     } finally {

@@ -82,6 +82,14 @@ object Graft {
       graceMs: Long = 600000L): Unit =
     new LakeTable(tableDir).expireSnapshots(keep, graceMs)
 
+  /** Requeue previously dead-lettered events after a fix (edited
+    * quarantine rows or an evolved registry): re-classifies, applies
+    * the now-clean rows as one fresh epoch, prunes drained quarantine
+    * partitions. See [[graft.cdc.DeadLetterQueue.replay]]. */
+  def replayDeadLetters(spark: SparkSession, dlqDir: String,
+      tableDir: String): graft.cdc.DlqReplayStats =
+    new graft.cdc.DeadLetterQueue(dlqDir).replay(spark, new LakeTable(tableDir))
+
   /** Tail a directory of binlog segments as a Structured Stream into
     * the lake table, checkpointed and exactly-once; resumes from
     * `checkpointDir` after a crash. */

@@ -13,10 +13,13 @@ final case class ApplyStats(
     wallMs: Long)
 
 /** Key-skew controller for the apply reduce: observes each committed
-  * epoch's rows-per-distinct-key ratio (an approx_count_distinct that
-  * rides the SAME single pass over the batch via observe — no pre-scan)
-  * and engages the two-stage salted reduce for the NEXT epoch when the
-  * ratio crosses `threshold`. The steady-state CDC regime is O(10)
+  * epoch's rows-per-key ratio — rows_in_batch from the envelope
+  * observation over the EXACT key count from a bare `count` observed
+  * on the post-reduce frame (keys-sized, measured free; an earlier
+  * design put approx_count_distinct in the pre-reduce CollectMetrics
+  * and paid an interpreted xxhash+HLL per input row, a measured 35%
+  * throughput tax) — and engages the two-stage salted reduce for the
+  * NEXT epoch when the ratio crosses `threshold`. The steady-state CDC regime is O(10)
   * deliveries per key; an adversarial single-key flood drives the ratio
   * toward rows_in_batch, so the default threshold only ever trips on
   * genuine floods. Decision is one epoch behind by design — the
@@ -168,13 +171,9 @@ object Apply {
       max(col("lsn")).as("max_lsn"),
       count(lit(1)).as("rows_in_batch"),
       sum(when(col("lsn") <= prevMaxLsn, 1L).otherwise(0L)).as("late_events"))
-    // the skew signal is only computed when a controller asks for it
-    // (one extra xxhash + HLL update per row, same single pass)
-    val metrics = baseMetrics ++ adaptive.map(_ =>
-      approx_count_distinct(xxhash64(col("repo"), col("path"))).as("approx_keys"))
     val envelope = rawEvents
       .select("repo", "path", "op", "lsn", "ts", "after")
-      .observe(obs, metrics.head, metrics.tail: _*)
+      .observe(obs, baseMetrics.head, baseMetrics.tail: _*)
     val useSalt = salted || adaptive.exists(_.engaged)
     val reducedAll = if (useSalt) saltedReduce(envelope) else reduce(envelope)
     // poison-pill quarantine (opt-in): classify POST-reduce — O(keys),
@@ -193,7 +192,15 @@ object Apply {
         (withReason.filter(col("_dlq_reason").isNull).drop("_dlq_reason"), Some(withReason))
       case _ => (reducedAll, None)
     }
+    // exact applied-key count as a second observation on the POST-reduce
+    // frame — keys-sized, a bare count, so it is genuinely free. (The
+    // previous skew signal, approx_count_distinct inside the pre-reduce
+    // CollectMetrics, evaluated an interpreted xxhash+HLL per INPUT row
+    // and measured a 35% throughput tax on the 16M-event fixture —
+    // rows/exact-keys is both cheaper and exact.)
+    val keysObs = org.apache.spark.sql.Observation(s"graft-keys-$epochId-${System.nanoTime()}")
     val normalized = normalize(reduced, batchVersion)
+      .observe(keysObs, count(lit(1)).as("keys_in_batch"))
     val commit =
       try table.upsert(normalized, epochId, batchVersion,
         batchMaxLsn = obs.get.get("max_lsn").collect { case l: Long => l }.getOrElse(-1L))
@@ -205,19 +212,19 @@ object Apply {
       else 0L
     // obs.get BLOCKS until the observed action ran — an idempotent
     // replay skip returns from upsert before any action, so the
-    // observation must only be consulted on a committed epoch
-    val approxKeys =
+    // observations must only be consulted on a committed epoch
+    val appliedKeys =
       if (commit.committed)
-        obs.get.get("approx_keys").collect { case l: Long => l }.getOrElse(-1L)
+        keysObs.get.get("keys_in_batch").collect { case l: Long => l }.getOrElse(-1L)
       else -1L
     // feed the controller AFTER the epoch (decides the NEXT epoch's
     // reduce shape); uncommitted replays carry no new signal
     adaptive.foreach { a =>
-      if (commit.committed && approxKeys > 0) a.update(inputRows.toDouble / approxKeys)
+      if (commit.committed && appliedKeys > 0) a.update(inputRows.toDouble / appliedKeys)
     }
 
     val wallMs = (System.nanoTime() - t0) / 1000000L
-    val stats = ApplyStats(epochId, inputRows, approxKeys, batchVersion, commit.committed, wallMs)
+    val stats = ApplyStats(epochId, inputRows, appliedKeys, batchVersion, commit.committed, wallMs)
     if (commit.committed) audit.foreach(_.recordAsync(spark, table, commit.group, obs.get, stats))
     if (sys.env.contains("GRAFT_APPLY_TIMING"))
       System.err.println(f"[apply] epoch=$epochId probe=${(tProbe - t1) / 1e9}%.2fs " +

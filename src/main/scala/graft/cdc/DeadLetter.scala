@@ -136,10 +136,7 @@ final class DeadLetterQueue(val root: String) {
       val epochId = table.latest().map(_.epochId + 1L).getOrElse(0L)
       val batch = clean.drop("epoch", "reason", "_dlq_reason")
       val stats = Apply.applyEpoch(spark, table, batch, epochId)
-      // exact requeued-key count (cheap here: DLQ rows are rare by
-      // contract; the hot path's ApplyStats only approximates this)
-      val requeued =
-        if (stats.committed) batch.select("repo", "path").distinct().count() else 0L
+      val requeued = if (stats.committed) stats.appliedKeys else 0L
 
       // prune only partitions that lost rows; drop a partition that
       // emptied (Files walk delete), rewrite one that still has poison —

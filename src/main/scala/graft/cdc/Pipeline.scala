@@ -122,7 +122,8 @@ object Pipeline {
       segments: Int,
       audit: Option[Audit] = None,
       compactEvery: Int = 0,
-      dlq: Option[DeadLetterQueue] = None): Seq[ApplyStats] = {
+      dlq: Option[DeadLetterQueue] = None,
+      adaptive: Option[AdaptiveSalt] = None): Seq[ApplyStats] = {
     val table = new LakeTable(tableDir)
     val stats = (0 until segments).map { s =>
       val segDir = f"$logDir/seg-$s%05d"
@@ -138,7 +139,7 @@ object Pipeline {
       // era probe from footer stats: O(files) metadata, no data scan
       val hint = ParquetStats.maxInt(spark, segDir, "schemaVersion")
       val st = Apply.applyEpoch(spark, table, batch, s.toLong, audit, versionHint = hint,
-        dlq = dlq)
+        adaptive = adaptive, dlq = dlq)
       if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) {
         table.compactBuckets(spark, compactEvery)
         audit.foreach(_.compactAsync(spark))
