@@ -88,11 +88,15 @@ object Bench {
       // noise while file counts stay bounded; 0 (default) = off
       val compactEvery = sys.env.getOrElse("SPARK_GRAFT_CDC_COMPACT", "0").toInt
       // SPARK_GRAFT_CDC_ADAPTIVE=<threshold> attaches the skew
-      // controller (its approx_count_distinct observation rides the
-      // same single pass) — the A/B row for "the controller is free
-      // when it does not trip / what salting costs when it does"
-      val adaptive = sys.env.get("SPARK_GRAFT_CDC_ADAPTIVE").map(t => new AdaptiveSalt(t.toDouble))
+      // controller (signal = rows_in_batch over the EXACT key count
+      // observed on the post-reduce frame — measured free; the earlier
+      // pre-reduce HLL design cost 35%, see BENCH.md) — the A/B row
+      // for "the controller is free when it does not trip". A FRESH
+      // controller per replay: engaged-state must not leak run-to-run
+      // or the three replays stop being identical.
+      val adaptiveThreshold = sys.env.get("SPARK_GRAFT_CDC_ADAPTIVE").map(_.toDouble)
       (1 to 3).map { run =>
+        val adaptive = adaptiveThreshold.map(new AdaptiveSalt(_))
         val audit = new Audit(s"$dir/audit$run")
         val t0 = System.nanoTime()
         val stats = Pipeline.replaySegments(spark, logDir, s"$dir/t$run", epochs,

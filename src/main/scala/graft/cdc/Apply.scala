@@ -142,7 +142,12 @@ object Apply {
       salted: Boolean = false,
       versionHint: Option[Int] = None,
       adaptive: Option[AdaptiveSalt] = None,
-      dlq: Option[DeadLetterQueue] = None): ApplyStats = {
+      dlq: Option[DeadLetterQueue] = None,
+      // idempotence namespace: epoch ids are monotone PER WRITER (see
+      // Snapshot.writerEpochs) — side-channel committers (DLQ replay)
+      // pass their own id so they never collide with the stream's
+      // batch-id sequence
+      writer: String = LakeTable.DefaultWriter): ApplyStats = {
     val t0 = System.nanoTime()
 
     def t() = System.nanoTime()
@@ -180,15 +185,20 @@ object Apply {
     // one extra cached scan; an already-committed epoch (idempotent
     // replay) skips both the quarantine write and the reduce job, same
     // fast path as without a DLQ
-    val alreadyCommitted = dlq.isDefined && table.latest().exists(_.epochId >= epochId)
+    val alreadyCommitted =
+      dlq.isDefined && table.latest().exists(_.watermark(writer) >= epochId)
     val (reduced, dlqCache) = dlq match {
       case Some(q) if !alreadyCommitted =>
         val typed = rawEvents.schema("after").dataType.isInstanceOf[StructType]
         val withReason = reducedAll.withColumn("_dlq_reason", q.reasonCol(typed))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // quarantine lands BEFORE the manifest commit: a crash replays
-        // the epoch and overwrites the same deterministic set
-        q.write(epochId, withReason.filter(col("_dlq_reason").isNotNull), batchVersion)
+        // the epoch and overwrites the same deterministic set. Written
+        // ONLY when poison exists — a clean 10^5-epoch stream must not
+        // grow 10^5 empty epoch dirs (the existence probe is a LIMIT 1
+        // on the already-persisted keys-sized frame)
+        val bad = withReason.filter(col("_dlq_reason").isNotNull)
+        if (bad.head(1).nonEmpty) q.write(epochId, bad, batchVersion)
         (withReason.filter(col("_dlq_reason").isNull).drop("_dlq_reason"), Some(withReason))
       case _ => (reducedAll, None)
     }
@@ -203,7 +213,8 @@ object Apply {
       .observe(keysObs, count(lit(1)).as("keys_in_batch"))
     val commit =
       try table.upsert(normalized, epochId, batchVersion,
-        batchMaxLsn = obs.get.get("max_lsn").collect { case l: Long => l }.getOrElse(-1L))
+        batchMaxLsn = obs.get.get("max_lsn").collect { case l: Long => l }.getOrElse(-1L),
+        writer = writer)
       finally dlqCache.foreach(_.unpersist(blocking = false))
     val tUpsert = t()
 

@@ -34,6 +34,10 @@ import org.apache.spark.sql.types._
   */
 final class DeadLetterQueue(val root: String) {
 
+  /** The writer id replay epochs commit under (per-writer idempotence
+    * namespace — see [[Snapshot.writerEpochs]]). */
+  val ReplayWriter = "dlq-replay"
+
   /** Reasons, coarsest-first (a row gets its FIRST matching reason). */
   val ReasonNullKey = "null_key"
   val ReasonUnknownOp = "unknown_op"
@@ -102,9 +106,10 @@ final class DeadLetterQueue(val root: String) {
   /** Requeue after a fix — the Debezium "correct the record, resubmit"
     * flow: re-classify every quarantined row under the CURRENT
     * classifier (the fix may be an edited quarantine row or an evolved
-    * registry), apply the now-clean rows as ONE fresh epoch on top of
-    * the table's high-water mark, and rewrite the quarantine to retain
-    * only still-poisoned rows.
+    * registry), apply the now-clean rows as ONE fresh epoch in the
+    * replay's OWN writer namespace (never colliding with the stream's
+    * batch-id sequence), and rewrite the quarantine to retain only
+    * still-poisoned rows.
     *
     * Ordering is commit-then-prune: a crash between the two replays
     * the same rows once more — at-least-once requeue whose
@@ -133,10 +138,21 @@ final class DeadLetterQueue(val root: String) {
       if (cleanEpochs.isEmpty)
         return DlqReplayStats(applied = 0L, remaining = stillRows.length.toLong, epoch = None)
 
-      val epochId = table.latest().map(_.epochId + 1L).getOrElse(0L)
+      // replay epochs live in their OWN writer namespace
+      // (Snapshot.writerEpochs): allocating table.epochId+1 would steal
+      // the stream's next batch id and make that micro-batch look
+      // already-applied — a silently dropped batch
+      val epochId =
+        table.latest().map(_.watermark(ReplayWriter) + 1L).getOrElse(0L)
       val batch = clean.drop("epoch", "reason", "_dlq_reason")
-      val stats = Apply.applyEpoch(spark, table, batch, epochId)
-      val requeued = if (stats.committed) stats.appliedKeys else 0L
+      val stats = Apply.applyEpoch(spark, table, batch, epochId, writer = ReplayWriter)
+      if (!stats.committed)
+        // lost the idempotence race (a concurrent replay already took
+        // this epoch id): prune NOTHING — the rows were not applied by
+        // this invocation, and dropping them here would lose them
+        return DlqReplayStats(applied = 0L,
+          remaining = stillRows.length.toLong + clean.count(), epoch = None)
+      val requeued = stats.appliedKeys
 
       // prune only partitions that lost rows; drop a partition that
       // emptied (Files walk delete), rewrite one that still has poison —

@@ -38,7 +38,22 @@ final case class Snapshot(
     // bucket transform: readers/writers constructed with a different
     // default must still hash keys into the buckets the data was
     // actually written with, or point lookups prune to the wrong dir
-    numBuckets: Int = 32)
+    numBuckets: Int = 32,
+    // per-writer commit watermarks for NON-default writers (the
+    // Flink/Iceberg multi-writer idempotence shape): epoch ids are
+    // monotone PER WRITER, not globally — a DLQ replay job committing
+    // "its epoch 0" between two streaming micro-batches must neither
+    // be skipped (its id compared against the stream's high-water
+    // mark) nor advance the stream's mark (silently dropping the next
+    // micro-batch, whose batchId would now be <= the mark). The
+    // default writer (the stream / segment replay) keeps using
+    // `epochId` above, so legacy manifests read unchanged.
+    writerEpochs: Map[String, Long] = Map.empty) {
+  /** The idempotence watermark `writer` commits against. */
+  def watermark(writer: String): Long =
+    if (writer == LakeTable.DefaultWriter) epochId
+    else writerEpochs.getOrElse(writer, -1L)
+}
 
 /** Result of a chunked incremental read ([[LakeTable.readChangesChunked]]):
   * `changes` = union of every readable sub-range's per-epoch delta rows;
@@ -96,6 +111,9 @@ final case class CommitResult(committed: Boolean, group: Option[FileGroup])
 object LakeTable {
   /** One warning per JVM when a mount forces the no-CAS commit path. */
   private val linkFallbackWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** The writer id whose watermark is the manifest's top-level epochId
+    * (the stream / segment replay — every pre-existing caller). */
+  val DefaultWriter = "default"
 }
 
 final class LakeTable(val root: String, val numBuckets: Int = 32) {
@@ -193,7 +211,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       groups.count(_.kind == "delta"),
       if (node.has("maxLsn")) node.get("maxLsn").asLong() else -1L,
       // legacy manifests (pre-persistence) trust the constructor default
-      if (node.has("numBuckets")) node.get("numBuckets").asInt() else numBuckets)
+      if (node.has("numBuckets")) node.get("numBuckets").asInt() else numBuckets,
+      if (!node.has("writerEpochs")) Map.empty
+      else node.get("writerEpochs").fields().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap)
   }
 
   /** Atomically commit a snapshot manifest: write tmp (fsync'd), then
@@ -211,6 +232,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     obj.put("schemaVersion", s.schemaVersion)
     obj.put("maxLsn", s.maxLsn)
     obj.put("numBuckets", s.numBuckets)
+    if (s.writerEpochs.nonEmpty) {
+      val we = obj.putObject("writerEpochs")
+      s.writerEpochs.toSeq.sortBy(_._1).foreach { case (w, e) => we.put(w, e) }
+    }
     val arr: ArrayNode = obj.putArray("groups")
     s.groups.foreach { g =>
       val gn = arr.addObject()
@@ -306,18 +331,20 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   /** `batchMaxLsn` is by-name: it is only evaluated AFTER the data
     * write (callers read it from the write job's observe() metrics). */
   def upsert(batch: DataFrame, epochId: Long, batchSchemaVersion: Int,
-      batchMaxLsn: => Long = -1L): CommitResult = {
+      batchMaxLsn: => Long = -1L,
+      writer: String = LakeTable.DefaultWriter): CommitResult = {
     init()
     val prev = latest()
-    if (prev.exists(_.epochId >= epochId)) return CommitResult(committed = false, None)
+    if (prev.exists(_.watermark(writer) >= epochId)) return CommitResult(committed = false, None)
 
-    val groupDir = s"data/${UUID.randomUUID().toString.take(12)}"
     val cols = stateCols(batchSchemaVersion)
-    // bucket with the table's committed bucket count, not the instance
-    // default — a writer opened with a different numBuckets must not
-    // scatter keys across a second bucketing scheme
-    val nb = prev.map(_.numBuckets).getOrElse(numBuckets)
-    // range-partitioned on the bucket value: numBuckets distinct values
+    // Write the reduced batch as a bucketed delta group. Factored so a
+    // mid-flight bucket-count change (an online rebucket committing
+    // while this epoch's files were in flight) can REWRITE the batch
+    // under the new count and keep going — the aborted attempt's files
+    // stay unreferenced (vacuum candidates).
+    //
+    // Range-partitioned on the bucket value: numBuckets distinct values
     // into numBuckets partitions lands ~one bucket per task (one writer
     // core per bucket, one file per bucket dir). Plain hash
     // `repartition(col("bucket"))` throws 32 values at 32 partitions and
@@ -327,22 +354,28 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     // partitioner SAMPLES ITS CHILD: unpersisted, the boundary-sketch
     // job re-runs every post-shuffle stage of the apply pipeline
     // (~+20% per epoch measured); cached, it reads O(keys) rows back.
-    val withBucket = batch.select((cols.map(col) :+ bucketColFor(nb)): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      withBucket
-        .repartitionByRange(nb, col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$root/$groupDir")
-    } finally withBucket.unpersist(blocking = false)
-
-    fsyncTree(Paths.get(root, groupDir)) // data durable BEFORE the manifest
-    // an empty epoch still advances the commit high-water mark, but a
-    // file-less group must not be referenced (unreadable schema)
-    val written =
+    def writeGroup(nbNow: Int): Option[FileGroup] = {
+      val groupDir = s"data/${UUID.randomUUID().toString.take(12)}"
+      val withBucket = batch.select((cols.map(col) :+ bucketColFor(nbNow)): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        withBucket
+          .repartitionByRange(nbNow, col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$root/$groupDir")
+      } finally withBucket.unpersist(blocking = false)
+      fsyncTree(Paths.get(root, groupDir)) // data durable BEFORE the manifest
+      // an empty epoch still advances the commit high-water mark, but a
+      // file-less group must not be referenced (unreadable schema)
       if (hasParquet(Paths.get(root, groupDir)))
         Some(FileGroup(groupDir, batchSchemaVersion, "delta"))
       else None
+    }
+    // bucket with the table's committed bucket count, not the instance
+    // default — a writer opened with a different numBuckets must not
+    // scatter keys across a second bucketing scheme
+    var nb = prev.map(_.numBuckets).getOrElse(numBuckets)
+    var written = writeGroup(nb)
     val maxLsn = batchMaxLsn // evaluate the by-name once, after the write
 
     // optimistic commit: if another writer won the version CAS, re-read
@@ -354,25 +387,40 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     // our files stay unreferenced (vacuum candidates).
     var base = prev
     while (true) {
-      if (base.exists(_.epochId >= epochId)) return CommitResult(committed = false, None)
+      if (base.exists(_.watermark(writer) >= epochId)) return CommitResult(committed = false, None)
       val newSchemaVersion = math.max(base.map(_.schemaVersion).getOrElse(1), batchSchemaVersion)
       val groups = base.map(_.groups).getOrElse(Nil) ++ written.toSeq
+      // a non-default writer advances ONLY its own watermark — the
+      // top-level epochId stays the default writer's mark, so an
+      // interleaved side-channel commit (DLQ replay) can never make the
+      // stream's next batch id look already-applied
+      val (newEpochId, newWriterEpochs) =
+        if (writer == LakeTable.DefaultWriter)
+          (epochId, base.map(_.writerEpochs).getOrElse(Map.empty[String, Long]))
+        else
+          (base.map(_.epochId).getOrElse(-1L),
+            base.map(_.writerEpochs).getOrElse(Map.empty[String, Long]) + (writer -> epochId))
       try {
         commitManifest(Snapshot(
-          base.map(_.version).getOrElse(0L) + 1L, epochId, newSchemaVersion, groups,
+          base.map(_.version).getOrElse(0L) + 1L, newEpochId, newSchemaVersion, groups,
           groups.count(_.kind == "delta"),
-          math.max(base.map(_.maxLsn).getOrElse(-1L), maxLsn), nb))
+          math.max(base.map(_.maxLsn).getOrElse(-1L), maxLsn), nb, newWriterEpochs))
         return CommitResult(committed = true, written)
       } catch {
         case _: CommitConflictException =>
           base = latest()
-          // first-commit race with a different constructor default: our
-          // data files are bucketed differently than the table's now-
-          // committed scheme — cannot be reconciled by a metadata retry
-          if (base.exists(_.numBuckets != nb))
-            throw new IllegalStateException(
-              s"concurrent first commits with different bucket counts " +
-                s"($nb vs ${base.get.numBuckets}); rebucket the batch and retry")
+          // the table's bucketing changed under us (an online rebucket
+          // committed mid-write, or a first-commit race between
+          // different constructor defaults): our files cannot be
+          // reconciled metadata-only — rewrite the batch under the
+          // committed count and keep retrying. This keeps a streaming
+          // writer ALIVE across a rebucket (the "online, no-downtime"
+          // contract) at the cost of one extra pass over the keys-sized
+          // reduced batch, on this rare race only.
+          if (base.exists(_.numBuckets != nb)) {
+            nb = base.get.numBuckets
+            written = writeGroup(nb)
+          }
       }
     }
     CommitResult(committed = false, None) // unreachable
@@ -526,6 +574,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     val ranges = scala.collection.mutable.Buffer[(Long, Long)]()
     val resync = scala.collection.mutable.Buffer[Long]()
     var runStart = sinceVersion
+    // sub-range endpoints must be RETAINED versions: after a vacuum the
+    // version sequence has gaps, and closing a range at the arithmetic
+    // v-1 (possibly expired) would make readChanges throw on a table
+    // that is in the compaction+vacuum steady state this API exists
+    // for. Track the last retained version seen instead; an expired
+    // prefix (sinceVersion=0 on a vacuumed table whose oldest retained
+    // snapshot holds a base) degrades to a leading resync boundary.
+    var lastRetained = sinceVersion
     vs.foreach { v =>
       val cur = snap(v)
       val prevGroups = prev.map(_.groups).getOrElse(Nil)
@@ -538,10 +594,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
           cur.groups.filterNot(g => prevGroups.exists(_.dir == g.dir))
             .forall(g => g.kind == "delta" && g.excludedBuckets.isEmpty)
       if (!appendOnly) {
-        if (v - 1 > runStart) ranges += ((runStart, v - 1))
+        if (lastRetained > runStart) ranges += ((runStart, lastRetained))
         resync += v
         runStart = v
       }
+      lastRetained = v
       prev = Some(cur)
     }
     if (toVersion > runStart) ranges += ((runStart, toVersion))
@@ -589,7 +646,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
         try {
           commitManifest(Snapshot(
             head.version + 1L, head.epochId, head.schemaVersion, groups,
-            groups.count(_.kind == "delta"), head.maxLsn, head.numBuckets))
+            groups.count(_.kind == "delta"), head.maxLsn, head.numBuckets,
+            head.writerEpochs))
           done = true
         } catch {
           case _: CommitConflictException =>
@@ -616,7 +674,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     * Contracts, all inherited from the existing commit discipline:
     *  - CAS: a rebucket racing an epoch upsert loses and returns false
     *    (its state was computed against a superseded snapshot); the
-    *    written files become vacuum candidates. Retry re-reads.
+    *    written files become vacuum candidates. Retry re-reads. In the
+    *    other ordering — the rebucket commits while an epoch's files
+    *    are in flight — the UPSERT's conflict retry detects the new
+    *    bucket count and rewrites its batch under it, so a streaming
+    *    writer stays alive across the migration (no downtime either
+    *    way).
     *  - Time travel: pre-rebucket snapshots read exactly as before
     *    (readers never assume a global bucket count; only readKey
     *    derives one, from the manifest it reads).
@@ -645,7 +708,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       commitManifest(Snapshot(
         s.version + 1L, s.epochId, s.schemaVersion,
         if (wroteFiles) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil, 0,
-        s.maxLsn, newBuckets))
+        s.maxLsn, newBuckets, s.writerEpochs))
       true
     } catch { case _: CommitConflictException => false }
   }
@@ -729,7 +792,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
           try {
             commitManifest(Snapshot(
               head.version + 1L, head.epochId, head.schemaVersion, groups,
-              groups.count(_.kind == "delta"), head.maxLsn, head.numBuckets))
+              groups.count(_.kind == "delta"), head.maxLsn, head.numBuckets,
+              head.writerEpochs))
             return hot
           } catch {
             case _: CommitConflictException =>

@@ -207,8 +207,16 @@ object Pipeline {
       dlq: Option[DeadLetterQueue] = None,
       adaptive: Option[AdaptiveSalt] = None): Unit = {
     val table = new LakeTable(tableDir)
+    // sniff the segment layout once (same contract as replaySegments):
+    // typed segments store after/before as structs, and reading them
+    // under the JSON envelope schema fails the scan on the first batch.
+    // Empty dir (tail started before the producer) -> JSON default.
+    val typed =
+      try spark.read.parquet(logDir + "/seg-*")
+        .schema("after").dataType.isInstanceOf[StructType]
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
     val stream = spark.readStream
-      .schema(envelopeSchema)
+      .schema(if (typed) typedEnvelopeSchema else envelopeSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(logDir + "/seg-*")
 

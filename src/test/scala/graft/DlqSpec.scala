@@ -142,7 +142,13 @@ class DlqSpec extends AnyFunSuite {
     val res = dlq.replay(spark, table)
     assert(res.applied == 2L, s"expected 2 requeued keys, got $res")
     assert(res.remaining == 1L, s"null-key row must stay quarantined: $res")
-    assert(res.epoch.contains(3L), s"replay must commit as the next epoch: $res")
+    // the replay's epoch lives in ITS OWN writer namespace — it must
+    // NOT advance the stream's high-water mark (that would make the
+    // stream's next batch id look already-applied and silently drop it)
+    assert(res.epoch.contains(0L), s"first replay epoch in its own namespace: $res")
+    assert(table.latest().get.epochId == 2L,
+      "replay must not advance the default writer's epoch high-water mark")
+    assert(table.latest().get.watermark(dlq.ReplayWriter) == 0L)
 
     val state = table.read(spark).select("path", "lsn", "content").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
@@ -159,9 +165,44 @@ class DlqSpec extends AnyFunSuite {
     val left = dlq.read(spark).collect()
     assert(left.length == 1 && left(0).getString(7) == "null_key")
 
+    // the STREAM's next batch id still applies after the replay commit
+    // (the collision this namespace exists to prevent)
+    val e3 = Seq(("U", 12L, ts(12), 1, "r1", "pD", null: String, json(12)))
+      .toDF("op", "lsn", "ts", "schemaVersion", "repo", "path", "before", "after")
+    val st3 = Apply.applyEpoch(spark, table, e3, 3L, versionHint = Some(1), dlq = Some(dlq))
+    assert(st3.committed, "stream batch 3 must not be skipped after a replay commit")
+    assert(table.read(spark).count() == 4)
+
     // replay is idempotent once drained of fixables
     val res2 = dlq.replay(spark, table)
     assert(res2.applied == 0L && res2.remaining == 1L && res2.epoch.isEmpty)
     assert(table.latest().get.epochId == 3L)
+  }
+
+  test("writer namespaces are independent: a side-channel commit shifts only its own watermark") {
+    val base = TestSpark.tmpDir("graft-dlq-ns")
+    val table = new LakeTable(s"$base/table")
+    val env = Seq(("U", 1L, ts(1), 1, "r1", "pA", null: String, json(1)))
+      .toDF("op", "lsn", "ts", "schemaVersion", "repo", "path", "before", "after")
+    // default-writer epochs 0..1
+    Apply.applyEpoch(spark, table, env, 0L, versionHint = Some(1))
+    Apply.applyEpoch(spark, table, env, 1L, versionHint = Some(1))
+    // a side-channel writer commits ITS epoch 0 and 1; replays of both
+    // skip idempotently; the default writer's mark is untouched
+    assert(Apply.applyEpoch(spark, table, env, 0L, versionHint = Some(1),
+      writer = "side").committed)
+    assert(!Apply.applyEpoch(spark, table, env, 0L, versionHint = Some(1),
+      writer = "side").committed)
+    assert(Apply.applyEpoch(spark, table, env, 1L, versionHint = Some(1),
+      writer = "side").committed)
+    val s = table.latest().get
+    assert(s.epochId == 1L && s.watermark("side") == 1L)
+    // the default writer's next batch still applies, and the side
+    // writer's watermark survives it AND a compaction
+    assert(Apply.applyEpoch(spark, table, env, 2L, versionHint = Some(1)).committed)
+    table.compactBuckets(spark, minDeltas = 1)
+    val s2 = table.latest().get
+    assert(s2.epochId == 2L && s2.watermark("side") == 1L,
+      s"watermarks must survive default-writer commits and compaction: $s2")
   }
 }

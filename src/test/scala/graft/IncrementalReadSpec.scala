@@ -89,4 +89,34 @@ class IncrementalReadSpec extends AnyFunSuite {
     assert(empty.ranges.isEmpty && empty.changes.count() == 0)
     assert(empty.changes.columns.contains("op"))
   }
+
+  test("chunked read over a VACUUMED table: retained endpoints, expired prefix = resync") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-vac").toString
+    def env(lsn0: Long) = (0 until 40).map { i =>
+      ("U", lsn0 + i, new java.sql.Timestamp(1700000000000L + lsn0 + i), 1,
+        s"r${i % 5}", s"p${i % 20}", null: String,
+        s"""{"commit":"c${lsn0 + i}","lang":"en","content":"v${lsn0 + i}"}""")
+    }.toDF("op", "lsn", "ts", "schemaVersion", "repo", "path", "before", "after")
+    val table = new LakeTable(dir)
+    Apply.applyEpoch(spark, table, env(0L), 0L, versionHint = Some(1)) // v1
+    Apply.applyEpoch(spark, table, env(100L), 1L, versionHint = Some(1)) // v2
+    table.compact(spark) // v3 — rewrite boundary
+    Apply.applyEpoch(spark, table, env(200L), 2L, versionHint = Some(1)) // v4
+    Apply.applyEpoch(spark, table, env(300L), 3L, versionHint = Some(1)) // v5
+    // vacuum the pre-compaction history: versions 1-2 expire, 3-5 retained
+    table.expireSnapshots(keep = 3, graceMs = 0L)
+
+    // the compaction+vacuum steady state is exactly what this API is
+    // for: no sub-range may end at an expired version
+    val chunked = table.readChangesChunked(spark, 0, 5)
+    assert(chunked.ranges == Seq((3L, 5L)), s"ranges=${chunked.ranges}")
+    assert(chunked.resyncVersions == Seq(3L),
+      s"expired prefix must surface as a leading resync: ${chunked.resyncVersions}")
+    // the readable tail really reads (the old endpoint arithmetic threw
+    // here): 2 retained epochs x 20 reduced keys
+    assert(chunked.changes.count() == 40)
+
+    // a retained-to-retained range across the gap still works flat
+    assert(table.readChangesChunked(spark, 3, 5).ranges == Seq((3L, 5L)))
+  }
 }

@@ -95,4 +95,52 @@ class RebucketSpec extends AnyFunSuite {
     assert(chunked.resyncVersions.contains(v2))
     assert(chunked.changes.filter(col("lsn") >= 80).count() == 40)
   }
+
+  test("a live writer survives an online rebucket: no crash, no lost epoch") {
+    // the other ordering of the rebucket/upsert race: the migration
+    // commits while a writer's epoch files are in flight — the writer's
+    // conflict retry must rewrite its batch under the new count and
+    // proceed, never throw (streaming foreachBatch would die) and never
+    // skip the epoch
+    val dir = TestSpark.tmpDir("graft-rbk4")
+    val table = new LakeTable(dir, numBuckets = 4)
+    val epochs = 8
+    val perEpoch = 4000 // heavy enough that a migration window fits between commits
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writerThread = new Thread(() => {
+      try (0 until epochs).foreach { e =>
+        Apply.applyEpoch(spark, table,
+          env(e * perEpoch, (e + 1) * perEpoch), e.toLong, versionHint = Some(1))
+      } catch { case t: Throwable => failures.add(t) }
+    }, "live-writer")
+    writerThread.start()
+    // fire the migration mid-replay (after the first commit exists);
+    // retry lost CAS races until it lands. A rewrite-based migration
+    // can starve against a saturated stream (unlike compaction it has
+    // no metadata-only retry — appended deltas carry the OLD hashing),
+    // so if every mid-flight attempt lost, land it after the join: the
+    // no-crash/no-lost-epoch asserts still bind for every attempt made.
+    val migrator = new LakeTable(dir)
+    while (migrator.latest().isEmpty && writerThread.isAlive) Thread.sleep(50L)
+    var migrated = false
+    var attempts = 0
+    while (!migrated && writerThread.isAlive) { attempts += 1; migrated = migrator.rebucket(spark, 8) }
+    writerThread.join(180000L)
+    if (!migrated) migrated = migrator.rebucket(spark, 8)
+
+    assert(failures.isEmpty, s"writer died during rebucket: ${Option(failures.peek()).getOrElse("")}")
+    assert(migrated, s"rebucket never landed (attempts=$attempts)")
+    val s = table.latest().get
+    assert(s.epochId == (epochs - 1).toLong, s"lost epoch: high-water ${s.epochId}")
+    assert(s.numBuckets == 8)
+    // exact final state: every key's last write present
+    val want = (0 until epochs * perEpoch).map(i =>
+      (s"r${i % 17}", s"p$i") -> (i.toLong, s"body$i")).toMap
+    assert(stateMap(table) == want, "state diverged across the online migration")
+    // and new writers + point lookups operate under the new count
+    Apply.applyEpoch(spark, table, env(epochs * perEpoch, epochs * perEpoch + 10),
+      epochs.toLong, versionHint = Some(1))
+    val probe = table.readKey(spark, "r0", "p0")
+    assert(probe.count() == 1)
+  }
 }
