@@ -141,7 +141,13 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     Using.resource(Files.list(manifestDir)) { st =>
       st.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        // digits-only guard: a stray near-miss file (editor backup,
+        // sync-conflict copy like "v000000001 (copy).json") must be
+        // skipped, not brick every manifest-listing API with a
+        // NumberFormatException
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") &&
+            s.stripPrefix("v").stripSuffix(".json").forall(_.isDigit) &&
+            s.length > "v.json".length =>
           s.stripPrefix("v").stripSuffix(".json").toLong }
         .toSeq.sorted
     }
@@ -189,9 +195,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   }
 
   /** Time travel: the snapshot committed as version `v` (like Iceberg's
-    * VERSION AS OF). */
+    * VERSION AS OF). O(1) existence probe, not a directory listing —
+    * readChangesChunked calls this once per version in its range. */
   def snapshotAt(v: Long): Option[Snapshot] =
-    versions().find(_ == v).map(readManifest)
+    if (v > 0 && Files.exists(manifestPath(v))) Some(readManifest(v)) else None
 
   private def readManifest(version: Long): Snapshot = {
     val node = mapper.readTree(Files.readAllBytes(manifestPath(version)))
@@ -306,11 +313,45 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   /** The table's effective bucket count: the value persisted in the
     * manifest once the first commit exists (the Iceberg bucket-transform
     * analogue — a reader constructed with any default must hash into the
-    * buckets the data was written with), else the constructor's. */
+    * buckets the data was written with), else the constructor's.
+    * NOT a pure accessor: resolves the head manifest (one HEAD read +
+    * JSON parse) per call — hot loops should resolve a snapshot once
+    * and read `numBuckets` from it, as upsert does. */
   def bucketCount: Int = latest().map(_.numBuckets).getOrElse(numBuckets)
 
-  /** Hash bucket of the key — MUST match across writers and eras. */
+  /** Hash bucket of the key — MUST match across writers and eras.
+    * Same caveat as [[bucketCount]]: resolves the manifest per call. */
   def bucketCol: org.apache.spark.sql.Column = bucketColFor(bucketCount)
+
+  /** Write `src` (already carrying a group's state columns) as one
+    * bucketed parquet group; shared by the four group writers (epoch
+    * upsert, full compact, rebucket, per-bucket compact). The dir name
+    * is a FULL UUID: these dirs are written with mode(Overwrite), so a
+    * truncated-prefix collision with a live referenced group would
+    * silently destroy committed data. Range-partitioned on the bucket
+    * value (~one bucket per task/file; plain hash repartition
+    * balls-in-bins idles ~1/e of the write cores), persisted first
+    * because the range partitioner SAMPLES ITS CHILD — unpersisted,
+    * the boundary-sketch job re-runs the whole upstream pipeline
+    * (~+20%/epoch measured). Returns None for a file-less (empty)
+    * group, which must never be referenced (unreadable schema). */
+  private def writeBucketedGroup(src: DataFrame, cols: Seq[String], nb: Int,
+      parts: Int, groupSchemaVersion: Int, kind: String): Option[FileGroup] = {
+    val suffix = if (kind == "base") "-base" else ""
+    val groupDir = s"data/${UUID.randomUUID().toString}$suffix"
+    val withBucket = src.select((cols.map(col) :+ bucketColFor(nb)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      withBucket
+        .repartitionByRange(parts, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$root/$groupDir")
+    } finally withBucket.unpersist(blocking = false)
+    fsyncTree(Paths.get(root, groupDir)) // data durable BEFORE the manifest
+    if (hasParquet(Paths.get(root, groupDir)))
+      Some(FileGroup(groupDir, groupSchemaVersion, kind))
+    else None
+  }
 
   private def bucketColFor(nb: Int) =
     pmod(xxhash64(col("repo"), col("path")), lit(nb.toLong)).as("bucket")
@@ -338,39 +379,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     if (prev.exists(_.watermark(writer) >= epochId)) return CommitResult(committed = false, None)
 
     val cols = stateCols(batchSchemaVersion)
-    // Write the reduced batch as a bucketed delta group. Factored so a
-    // mid-flight bucket-count change (an online rebucket committing
-    // while this epoch's files were in flight) can REWRITE the batch
-    // under the new count and keep going — the aborted attempt's files
-    // stay unreferenced (vacuum candidates).
-    //
-    // Range-partitioned on the bucket value: numBuckets distinct values
-    // into numBuckets partitions lands ~one bucket per task (one writer
-    // core per bucket, one file per bucket dir). Plain hash
-    // `repartition(col("bucket"))` throws 32 values at 32 partitions and
-    // balls-in-bins idles ~1/e of the write-stage cores while others
-    // carry 2-3 buckets — measurably the write-stage straggler at
-    // local[32]. The reduced batch is persisted first because the range
-    // partitioner SAMPLES ITS CHILD: unpersisted, the boundary-sketch
-    // job re-runs every post-shuffle stage of the apply pipeline
-    // (~+20% per epoch measured); cached, it reads O(keys) rows back.
-    def writeGroup(nbNow: Int): Option[FileGroup] = {
-      val groupDir = s"data/${UUID.randomUUID().toString.take(12)}"
-      val withBucket = batch.select((cols.map(col) :+ bucketColFor(nbNow)): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        withBucket
-          .repartitionByRange(nbNow, col("bucket"))
-          .write.partitionBy("bucket").mode("overwrite")
-          .parquet(s"$root/$groupDir")
-      } finally withBucket.unpersist(blocking = false)
-      fsyncTree(Paths.get(root, groupDir)) // data durable BEFORE the manifest
-      // an empty epoch still advances the commit high-water mark, but a
-      // file-less group must not be referenced (unreadable schema)
-      if (hasParquet(Paths.get(root, groupDir)))
-        Some(FileGroup(groupDir, batchSchemaVersion, "delta"))
-      else None
-    }
+    // The delta-group write is re-runnable so a mid-flight bucket-count
+    // change (an online rebucket committing while this epoch's files
+    // were in flight) can REWRITE the batch under the new count and
+    // keep going — the aborted attempt's files stay unreferenced
+    // (vacuum candidates). An empty epoch still advances the commit
+    // high-water mark (writeBucketedGroup returns None).
+    def writeGroup(nbNow: Int): Option[FileGroup] =
+      writeBucketedGroup(batch, cols, nbNow, nbNow, batchSchemaVersion, "delta")
     // bucket with the table's committed bucket count, not the instance
     // default — a writer opened with a different numBuckets must not
     // scatter keys across a second bucketing scheme
@@ -547,14 +563,17 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       .map(g => SchemaRegistry.alignToCurrent(spark.read.parquet(s"$root/${g.dir}")))
       .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
       .map(_.select(cols.map(col): _*))
-      .getOrElse {
-        val fields = Seq(
-          StructField("repo", StringType), StructField("path", StringType),
-          StructField("op", StringType), StructField("lsn", LongType),
-          StructField("ts", TimestampType)) ++
-          SchemaRegistry.fields.map(f => StructField(f.current.name, f.current.dataType))
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
-      }
+      .getOrElse(emptyChangeFrame(spark))
+  }
+
+  /** Empty frame with the change-feed schema (op + key + payload). */
+  private def emptyChangeFrame(spark: SparkSession): DataFrame = {
+    val fields = Seq(
+      StructField("repo", StringType), StructField("path", StringType),
+      StructField("op", StringType), StructField("lsn", LongType),
+      StructField("ts", TimestampType)) ++
+      SchemaRegistry.fields.map(f => StructField(f.current.name, f.current.dataType))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
   }
 
   /** Chunked fallback for a [[readChanges]] range that crosses
@@ -604,8 +623,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     if (toVersion > runStart) ranges += ((runStart, toVersion))
     val changes = ranges.toSeq.map { case (a, b) => readChanges(spark, a, b) }
       .reduceOption(_.unionByName(_))
-      // no readable sub-range: the empty frame with the change schema
-      .getOrElse(readChanges(spark, toVersion, toVersion))
+      // no readable sub-range: the empty frame with the change schema —
+      // built directly (readChanges(to, to) would throw for toVersion=0,
+      // i.e. a consumer polling a table with no committed snapshot yet)
+      .getOrElse(emptyChangeFrame(spark))
     ChunkedChanges(changes, ranges.toSeq, resync.toSeq)
   }
 
@@ -616,25 +637,16 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     * threshold (Pipeline) or explicitly. */
   def compact(spark: SparkSession): Unit = {
     latest().foreach { s =>
-      val state = read(spark).withColumn("op", lit("U"))
-      val groupDir = s"data/${UUID.randomUUID().toString.take(12)}-base"
+      // the rewrite state is PINNED to s (readAt, not read): a delta
+      // committed between here and the commit below must appear ONCE —
+      // as an appended group the validated retry stacks on top — not
+      // also be absorbed into the base (duplicate rows at equal LSN)
+      val state = readAt(spark, Some(s)).withColumn("op", lit("U"))
       // compaction rewrites at the current registry schema regardless of
       // the eras the deltas were written under
       val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
-      // persist before the range exchange: the boundary sketch would
-      // otherwise re-run the full merge-on-read read (see upsert)
-      val withBucket = state.select((cols.map(col) :+ bucketColFor(s.numBuckets)): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        withBucket
-          .repartitionByRange(s.numBuckets, col("bucket"))
-          .write.partitionBy("bucket").mode("overwrite")
-          .parquet(s"$root/$groupDir")
-      } finally withBucket.unpersist(blocking = false)
-      fsyncTree(Paths.get(root, groupDir))
-      val wroteFiles = hasParquet(Paths.get(root, groupDir))
-      val newBase =
-        if (wroteFiles) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil
+      val newBase = writeBucketedGroup(state, cols, s.numBuckets, s.numBuckets,
+        SchemaRegistry.maxVersion, "base").toSeq
       // validated commit retry — same RewriteFiles semantics as
       // compactBuckets: delta groups appended after `s` stack on top of
       // the new base (higher LSNs win); any other interleaving aborts
@@ -692,22 +704,12 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       throw new IllegalStateException("rebucket: table has no committed snapshot"))
     if (s.numBuckets == newBuckets) return true
     val state = readAt(spark, Some(s)).withColumn("op", lit("U"))
-    val groupDir = s"data/${UUID.randomUUID().toString.take(12)}-base"
     val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
-    val withBucket = state.select((cols.map(col) :+ bucketColFor(newBuckets)): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      withBucket
-        .repartitionByRange(newBuckets, col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$root/$groupDir")
-    } finally withBucket.unpersist(blocking = false)
-    fsyncTree(Paths.get(root, groupDir))
-    val wroteFiles = hasParquet(Paths.get(root, groupDir))
+    val newBase = writeBucketedGroup(state, cols, newBuckets, newBuckets,
+      SchemaRegistry.maxVersion, "base").toSeq
     try {
       commitManifest(Snapshot(
-        s.version + 1L, s.epochId, s.schemaVersion,
-        if (wroteFiles) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil, 0,
+        s.version + 1L, s.epochId, s.schemaVersion, newBase, 0,
         s.maxLsn, newBuckets, s.writerEpochs))
       true
     } catch { case _: CommitConflictException => false }
@@ -752,25 +754,14 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
         // row back in its (hot) bucket
         val state = readAt(spark, Some(s), onlyBuckets = Some(hot))
           .withColumn("op", lit("U"))
-        val groupDir = s"data/${UUID.randomUUID().toString.take(12)}-base"
         val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
-        val withBucket = state.select((cols.map(col) :+ bucketColFor(s.numBuckets)): _*)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          withBucket
-            .repartitionByRange(math.max(hot.size, 1), col("bucket"))
-            .write.partitionBy("bucket").mode("overwrite")
-            .parquet(s"$root/$groupDir")
-        } finally withBucket.unpersist(blocking = false)
-        fsyncTree(Paths.get(root, groupDir))
-        val wrote = hasParquet(Paths.get(root, groupDir))
+        val newBase = writeBucketedGroup(state, cols, s.numBuckets,
+          math.max(hot.size, 1), SchemaRegistry.maxVersion, "base").toSeq
 
         val kept = live.flatMap { case (g, liveBuckets) =>
           if ((liveBuckets -- hot).isEmpty) None // fully superseded
           else Some(g.copy(excludedBuckets = g.excludedBuckets ++ (hot & liveBuckets)))
         }
-        val newBase =
-          if (wrote) Seq(FileGroup(groupDir, SchemaRegistry.maxVersion, "base")) else Nil
 
         // Commit with Iceberg-style VALIDATED RETRY (RewriteFiles
         // semantics) rather than abort-on-any-conflict: at the 10^10

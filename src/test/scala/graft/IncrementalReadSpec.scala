@@ -119,4 +119,12 @@ class IncrementalReadSpec extends AnyFunSuite {
     // a retained-to-retained range across the gap still works flat
     assert(table.readChangesChunked(spark, 3, 5).ranges == Seq((3L, 5L)))
   }
+
+  test("polling a table with no committed snapshot yet: empty frame, not a throw") {
+    val table = new LakeTable(
+      java.nio.file.Files.createTempDirectory("graft-inc-empty").toString)
+    val c = table.readChangesChunked(spark, 0, 0)
+    assert(c.ranges.isEmpty && c.resyncVersions.isEmpty)
+    assert(c.changes.isEmpty && c.changes.columns.contains("op"))
+  }
 }

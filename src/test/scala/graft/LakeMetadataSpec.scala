@@ -214,6 +214,20 @@ class LakeMetadataSpec extends AnyFunSuite {
     assert(head.totalDeltaGroups == 0, "the sweep absorbed every delta group")
   }
 
+  test("a stray near-miss manifest file cannot brick the table") {
+    val dir = TestSpark.tmpDir("cdc-poison") + "/t"
+    val table = new LakeTable(dir, numBuckets = 4)
+    table.upsert(mkBatch((0 until 5).map(i => (s"r$i", "a")), 100L), 0L, 1)
+    val before = stateMap(table.read(spark))
+    // an editor backup / sync-conflict copy lands next to the manifests
+    Files.write(Paths.get(dir, "manifests", "v000000001 (copy).json"),
+      "junk".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "manifests", "vX.json"), "junk".getBytes("UTF-8"))
+    assert(table.latest().map(_.version).contains(1L))
+    assert(stateMap(table.read(spark)) == before)
+    assert(table.upsert(mkBatch(Seq(("r9", "a")), 200L), 1L, 1).committed)
+  }
+
   test("audit compaction crash between publish and delete does not double-count") {
     import org.apache.spark.sql.SaveMode
     val dir = TestSpark.tmpDir("cdc-audit-crash")
