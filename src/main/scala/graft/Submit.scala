@@ -34,10 +34,10 @@ object Submit {
     """usage:
       |  tail <logDir> <tableDir> <checkpointDir> [--audit DIR] [--dlq DIR]
       |       [--compact-every N] [--adaptive-salt [THRESHOLD]]
-      |       [--max-files-per-trigger N]
+      |       [--max-files-per-trigger N] [--layout sniff|json|typed]
       |  compact <tableDir> [minDeltas]
       |  vacuum <tableDir> [keep] [graceMs]
-      |  replay-dlq <dlqDir> <tableDir>""".stripMargin
+      |  replay-dlq <dlqDir> <tableDir> [--max-driver-rows N]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) throw new IllegalArgumentException(usage)
@@ -61,7 +61,10 @@ object Submit {
         adaptive = opts.get("adaptive-salt").map {
           case "" => new AdaptiveSalt()
           case t  => new AdaptiveSalt(t.toDouble)
-        })
+        },
+        // --layout json|typed pins the segment payload layout for a tail
+        // started before its producer (nothing to sniff yet)
+        layout = opts.getOrElse("layout", "sniff"))
 
     case "compact" :: tableDir :: rest if rest.sizeIs <= 1 =>
       val minDeltas = rest.headOption.map(_.toInt).getOrElse(2)
@@ -74,8 +77,10 @@ object Submit {
       new LakeTable(tableDir).expireSnapshots(keep, grace)
       println(s"""{"job":"vacuum","keep":$keep}""")
 
-    case "replay-dlq" :: dlqDir :: tableDir :: Nil =>
-      val stats = new DeadLetterQueue(dlqDir).replay(spark, new LakeTable(tableDir))
+    case "replay-dlq" :: dlqDir :: tableDir :: flags =>
+      val opts = parseFlags(flags)
+      val stats = new DeadLetterQueue(dlqDir).replay(spark, new LakeTable(tableDir),
+        maxDriverRows = opts.get("max-driver-rows").map(_.toLong).getOrElse(100000L))
       println(s"""{"job":"replay-dlq","applied":${stats.applied},""" +
         s""""remaining":${stats.remaining},"epoch":${stats.epoch.getOrElse(-1L)}}""")
 

@@ -203,7 +203,7 @@ final class Audit(val dir: String) {
     * mergeSchema: an audit dir may span engine versions that added
     * metric columns (e.g. late_events); a single-footer schema would
     * read such a dir nondeterministically. */
-  def read(spark: SparkSession): DataFrame = {
+  def read(spark: SparkSession, pinTimeoutMs: Long = 30000L): DataFrame = {
     val root = java.nio.file.Paths.get(dir)
     val files = new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
@@ -225,7 +225,22 @@ final class Audit(val dir: String) {
         } catch { case t: Throwable => err.set(t) }
         finally latch.countDown()
     })
-    latch.await()
+    // BOUNDED await: behind a deep recordAsync/compactAsync backlog the
+    // serialized listing may not get its turn for a long time, and a
+    // monitoring read must not hang indefinitely. On timeout, fall back
+    // to an UNPINNED direct directory read — weaker coherence (it can
+    // race an in-flight compaction's publish, the pre-round-5 behavior)
+    // but it returns, which is what a stalled monitor needs. Interrupts
+    // propagate so a stuck reader can be cancelled.
+    val pinned =
+      latch.await(pinTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    if (!pinned) {
+      System.err.println(
+        s"[audit] WARN: pinned-snapshot listing did not complete within " +
+          s"${pinTimeoutMs}ms (deep async backlog?); returning an UNPINNED " +
+          "directory read — call flush() first for a coherent snapshot")
+      return spark.read.option("mergeSchema", "true").parquet(dir)
+    }
     Option(err.get()).foreach(t => throw t)
     val snapshot = files.get()
     if (snapshot.isEmpty) spark.read.option("mergeSchema", "true").parquet(dir)

@@ -120,9 +120,22 @@ final class DeadLetterQueue(val root: String) {
     * reconstruction, which is exactly what "the lake never needed it"
     * should mean. Null-key rows are permanently unreplayable and stay
     * quarantined. Driver-side epoch iteration is fine by the DLQ's
-    * own contract: quarantined rows are rare.
+    * own contract: quarantined rows are rare — and that contract is
+    * ENFORCED, not assumed: the still-poisoned set is counted before
+    * it is collected, and a count above `maxDriverRows` (default 100k)
+    * refuses the replay with an actionable error instead of silently
+    * materializing a classifier-bug-sized corpus into driver heap.
+    *
+    * @param maxDriverRows upper bound on still-poisoned rows this
+    *        replay may materialize to the driver for the quarantine
+    *        rewrite. A full-epoch poison flood (classifier bug,
+    *        mid-migration schema mismatch) trips this bound; fix the
+    *        classifier/registry first so the rows classify clean (the
+    *        CLEAN side is applied fully distributed and is never
+    *        driver-materialized), or raise the bound deliberately.
     */
-  def replay(spark: SparkSession, table: LakeTable): DlqReplayStats = {
+  def replay(spark: SparkSession, table: LakeTable,
+      maxDriverRows: Long = 100000L): DlqReplayStats = {
     val all = read(spark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -131,9 +144,18 @@ final class DeadLetterQueue(val root: String) {
       // the still-poisoned set is MATERIALIZED to the driver before any
       // prune: the prune below overwrites the very directories the lazy
       // frame reads, so a cache eviction mid-loop would rescan mutated
-      // dirs. Rare rows by the DLQ's own contract, so this is tiny.
-      val stillRows = classified.filter(col("_dlq_reason").isNotNull)
-        .drop("_dlq_reason").collect()
+      // dirs. Count-before-collect enforces the "rare rows" contract.
+      val still = classified.filter(col("_dlq_reason").isNotNull).drop("_dlq_reason")
+      val stillCount = still.count()
+      if (stillCount > maxDriverRows)
+        throw new IllegalStateException(
+          s"DLQ replay: $stillCount rows remain poisoned under the current " +
+            s"classifier (> maxDriverRows=$maxDriverRows) — this is a poison " +
+            "FLOOD, not the rare-row case the quarantine rewrite is sized for. " +
+            "Fix the classifier/schema registry so the rows classify clean " +
+            "(the clean side applies fully distributed), or pass a larger " +
+            "maxDriverRows to replay() deliberately.")
+      val stillRows = still.collect()
       val cleanEpochs = clean.select("epoch").distinct().collect().map(_.getLong(0))
       if (cleanEpochs.isEmpty)
         return DlqReplayStats(applied = 0L, remaining = stillRows.length.toLong, epoch = None)

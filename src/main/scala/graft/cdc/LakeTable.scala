@@ -111,6 +111,23 @@ final case class CommitResult(committed: Boolean, group: Option[FileGroup])
 object LakeTable {
   /** One warning per JVM when a mount forces the no-CAS commit path. */
   private val linkFallbackWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Opt-in for the DEGRADED commit path on filesystems without hard
+    * links (some FUSE/object-store mounts, exFAT): existence-probe +
+    * atomic rename is atomic-publish but NOT compare-and-swap, so two
+    * concurrent writers can both pass the probe and the second rename
+    * silently replaces the first's committed snapshot — a lost update.
+    * Default is therefore to FAIL the commit on such mounts; a
+    * known-single-writer deployment sets `-Dgraft.lake.allowNoCas=true`
+    * (or env GRAFT_LAKE_ALLOW_NOCAS=1) to accept the degradation. */
+  private[graft] def noCasAllowed: Boolean =
+    sys.props.get("graft.lake.allowNoCas").exists(_.equalsIgnoreCase("true")) ||
+      sys.env.get("GRAFT_LAKE_ALLOW_NOCAS").contains("1")
+
+  /** Test seam: the atomic link(target, source) primitive the commit
+    * CAS uses — overridden in specs to simulate a link-less mount. */
+  private[graft] var linkImpl: (Path, Path) => Unit =
+    (target, src) => { Files.createLink(target, src); () }
   /** The writer id whose watermark is the manifest's top-level epochId
     * (the stream / segment replay — every pre-existing caller). */
   val DefaultWriter = "default"
@@ -255,7 +272,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     val tmp = manifestDir.resolve(s".tmp-${UUID.randomUUID()}.json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(obj))
     fsync(tmp)
-    try Files.createLink(manifestPath(s.version), tmp)
+    try LakeTable.linkImpl(manifestPath(s.version), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
@@ -266,11 +283,23 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       case _: java.nio.file.NoSuchFileException =>
         throw new CommitConflictException(s.version)
       // filesystems without hard links (some FUSE/object-store mounts,
-      // exFAT): degrade to existence-probe + atomic rename — atomic
-      // publish but NO compare-and-swap, so concurrent writers are not
-      // safe on such a mount; warn once per JVM instead of failing
-      // every commit with a bare UnsupportedOperationException
-      case _: UnsupportedOperationException =>
+      // exFAT): existence-probe + atomic rename would be atomic-publish
+      // but NOT compare-and-swap — two concurrent writers (exactly the
+      // stream+compactor+vacuum triad Submit promotes) could both pass
+      // the probe and the second rename silently replaces the first's
+      // committed snapshot. FAIL the commit by default; the degradation
+      // is OPT-IN for known-single-writer deployments (see noCasAllowed)
+      case e: UnsupportedOperationException =>
+        if (!LakeTable.noCasAllowed) {
+          Files.deleteIfExists(tmp)
+          throw new IllegalStateException(
+            "manifest commit: this filesystem does not support hard links, " +
+              "so the commit has no compare-and-swap primitive — refusing " +
+              "to commit (concurrent writers would silently lose updates). " +
+              "If, and only if, exactly ONE writer ever touches this table " +
+              "root, opt into the degraded atomic-rename path with " +
+              "-Dgraft.lake.allowNoCas=true or GRAFT_LAKE_ALLOW_NOCAS=1.", e)
+        }
         if (!LakeTable.linkFallbackWarned.getAndSet(true))
           System.err.println(
             "[lake] WARN: filesystem does not support hard links; manifest " +

@@ -205,16 +205,34 @@ object Pipeline {
       failBeforeEpoch: Option[Long] = None,
       compactEvery: Int = 0,
       dlq: Option[DeadLetterQueue] = None,
-      adaptive: Option[AdaptiveSalt] = None): Unit = {
+      adaptive: Option[AdaptiveSalt] = None,
+      layout: String = "sniff"): Unit = {
     val table = new LakeTable(tableDir)
-    // sniff the segment layout once (same contract as replaySegments):
-    // typed segments store after/before as structs, and reading them
-    // under the JSON envelope schema fails the scan on the first batch.
-    // Empty dir (tail started before the producer) -> JSON default.
-    val typed =
-      try spark.read.parquet(logDir + "/seg-*")
-        .schema("after").dataType.isInstanceOf[StructType]
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    // segment layout: typed segments store after/before as structs, and
+    // reading them under the JSON envelope schema fails the scan on the
+    // first batch. "sniff" reads one footer (same contract as
+    // replaySegments); a tail started BEFORE the producer has nothing
+    // to sniff — guessing JSON there would PERMANENTLY break a
+    // typed-payload producer's scans (the schema is fixed at stream
+    // build), so an empty dir fails fast and tells the caller to pass
+    // the layout explicitly ("json" | "typed").
+    val typed = layout match {
+      case "typed" => true
+      case "json"  => false
+      case "sniff" =>
+        try spark.read.parquet(logDir + "/seg-*")
+          .schema("after").dataType.isInstanceOf[StructType]
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalStateException(
+              s"runStream: no segments under $logDir to sniff the payload " +
+                "layout from (tail started before the producer?) — pass " +
+                "layout=\"json\" or layout=\"typed\" explicitly (Submit: " +
+                "--layout json|typed)")
+        }
+      case other => throw new IllegalArgumentException(
+        s"layout must be sniff|json|typed, got '$other'")
+    }
     val stream = spark.readStream
       .schema(if (typed) typedEnvelopeSchema else envelopeSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

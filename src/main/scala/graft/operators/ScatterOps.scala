@@ -154,7 +154,12 @@ object ScatterOps {
     val withCell = probes
       .withColumn("_cellx", floor((qx - lit(minx)) / lit(cw)).cast("long"))
       .withColumn("_celly", floor((qy - lit(miny)) / lit(ch)).cast("long"))
-    val t = element_at(filter(col("_tris"), inside _), 1)
+    // try_element_at, NOT element_at: under Spark 4's default ANSI mode
+    // element_at(empty, 1) throws — and the filtered array IS empty for
+    // a probe outside the hull that still lands in a populated cell
+    // (common just past the hull edge). try_element_at yields null there
+    // and the coalesce below applies the documented `fill`.
+    val t = try_element_at(filter(col("_tris"), inside _), lit(1))
     val det = (t("bx") - t("ax")) * (t("cy") - t("ay")) -
       (t("by") - t("ay")) * (t("cx") - t("ax"))
     val value = (num(t("bx"), t("by"), t("cx"), t("cy")) * t("va") +

@@ -179,6 +179,32 @@ class DlqSpec extends AnyFunSuite {
     assert(table.latest().get.epochId == 3L)
   }
 
+  test("poison FLOOD: replay refuses to driver-materialize above maxDriverRows") {
+    val base = TestSpark.tmpDir("graft-dlq-flood")
+    val table = new LakeTable(s"$base/table")
+    val dlq = new DeadLetterQueue(s"$base/dlq")
+    // a classifier-bug-shaped flood: EVERY row of the epoch is poisoned
+    // (unknown op), 500 rows — far beyond the rare-row contract
+    val flood = (0 until 500).map(i =>
+      ("Z", i.toLong, ts(i), 1, "r1", s"p$i", null: String, json(i)))
+      .toDF("op", "lsn", "ts", "schemaVersion", "repo", "path", "before", "after")
+    Apply.applyEpoch(spark, table, flood, 0L, versionHint = Some(1), dlq = Some(dlq))
+    assert(dlq.read(spark).count() == 500)
+    // still-poisoned count exceeds the bound -> refuse BEFORE collecting
+    val ex = intercept[IllegalStateException] {
+      dlq.replay(spark, table, maxDriverRows = 100L)
+    }
+    assert(ex.getMessage.contains("maxDriverRows"),
+      s"error must name the knob: ${ex.getMessage}")
+    // nothing was applied or pruned by the refused replay
+    assert(dlq.read(spark).count() == 500)
+    assert(table.latest().forall(_.writerEpochs.isEmpty))
+    // a deliberately raised bound proceeds (rows stay quarantined — they
+    // are still poisoned — but the path is exercised end-to-end)
+    val res = dlq.replay(spark, table, maxDriverRows = 1000L)
+    assert(res.applied == 0L && res.remaining == 500L)
+  }
+
   test("writer namespaces are independent: a side-channel commit shifts only its own watermark") {
     val base = TestSpark.tmpDir("graft-dlq-ns")
     val table = new LakeTable(s"$base/table")

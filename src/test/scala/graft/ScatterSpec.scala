@@ -87,6 +87,22 @@ class ScatterSpec extends AnyFunSuite {
     }
   }
 
+  test("probe outside the hull but inside a populated cell gets fill (ANSI-safe)") {
+    import spark.implicits._
+    // triangular hull: bbox [0,4]^2 but hull only the lower-left half, so
+    // (3.9, 3.9) is OUTSIDE the hull yet lands in a cell that holds the
+    // triangle — the filtered candidate array is EMPTY (not null). Under
+    // ANSI mode element_at(empty, 1) throws; the operator must yield
+    // `fill` here (regression for the try_element_at fix).
+    val scatter = Seq((0.0, 0.0, 1.0), (4.0, 0.0, 2.0), (0.0, 4.0, 3.0)).toDF("x", "y", "v")
+    val probes = Seq((3.9, 3.9), (1.0, 1.0)).toDF("qx", "qy")
+    val out = ScatterOps.scatteredInterp2d(scatter, "x", "y", "v",
+      probes, "qx", "qy", outCol = "gv")
+      .collect().map(r => (r.getDouble(0), r.getDouble(2))).toMap
+    assert(out(3.9) == 9.96921e36, "outside-hull probe in a populated cell must fill")
+    assert(out(1.0) == 1.75) // affine 1 + x/4 + y/2, dyadic-exact
+  }
+
   test("rescale invariance: anisotropic axes triangulate like the unit square") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
