@@ -20,10 +20,12 @@ import org.apache.spark.sql.types._
   * bits x dims loop in generated Java. It is the candidate-generation
   * kernel of the ANN (q29) and embedding near-dup (q30) operators.
   *
-  * Plane weights: w(j, i) = centered xxhash-style integer mix of
-  * (j * 1024 + i) mapped to [-1, 1) — seed-stable, identical in the
-  * interpreted and codegen paths by construction (shared static
-  * helper [[HyperplaneSignature.weight]]).
+  * Plane weights: w(j, i) = centered multiplicative hash of
+  * (j * 1024 + i) mod 2^31 mapped to [-1, 1) — seed-stable, identical
+  * in the interpreted and codegen paths by construction (shared static
+  * helper [[HyperplaneSignature.weight]]), and PORTABLE: the same
+  * dyadic value is computable in plain SQL, which is what lets the
+  * DuckDB oracle reproduce q29's buckets exactly.
   */
 case class HyperplaneSignature(child: Expression, bits: Int)
     extends UnaryExpression {
@@ -87,16 +89,24 @@ case class HyperplaneSignature(child: Expression, bits: Int)
 
 object HyperplaneSignature {
 
-  /** Deterministic plane component in [-1, 1): xxhash-style avalanche
-    * of (j, i). Called from both the interpreted eval and the generated
-    * Java, so the two paths agree bit-for-bit. */
+  /** Deterministic plane component in [-1, 1): a Knuth multiplicative
+    * hash of (j, i) REDUCED MOD 2^31 — every intermediate fits a
+    * signed 64-bit integer with no overflow wrap, and the final value
+    * is a dyadic rational, so ANY engine (notably the DuckDB oracle,
+    * which has no wrapping 64-bit multiply) computes the identical
+    * double: `((k*2654435761 + 40503) % 2^31) / 2^30 - 1`. That
+    * portability is what makes the q29 ANN gate an exact cross-engine
+    * hash match; as an LSH hyperplane family only decorrelation
+    * matters, not cryptographic mixing. Called from both the
+    * interpreted eval and the generated Java, so the two paths agree
+    * bit-for-bit. */
   def weight(j: Int, i: Int): Double = {
-    var x = j.toLong * 1024L + i.toLong + 0x9E3779B97F4A7C15L
-    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
-    x ^= x >>> 29; x *= 0xC4CEB9FE1A85EC53L
-    x ^= x >>> 32
-    // top 53 bits -> uniform double in [0, 1), centered
-    (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    val k = j.toLong * 1024L + i.toLong
+    var x = (k * 3266489917L + 40503L) % 2147483648L
+    x ^= x >> 14
+    x = (x * 2246822519L) % 2147483648L
+    x ^= x >> 12
+    x.toDouble / 1073741824.0 - 1.0
   }
 
   /** Column-API entry point; input must be (castable to) array<double>. */

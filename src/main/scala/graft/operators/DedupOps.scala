@@ -24,13 +24,22 @@ object DedupOps {
   val MinhashK = 16
   val Bands = 4 // 4 rows per band
   val MaxShingleDf = 100 // candidate-generation fence for exact Jaccard
+  // 60 = 15 hex chars of md5: the widest hash both engines turn into
+  // the SAME integer (DuckDB CAST('0x…' AS BIGINT), Spark conv(…,16,10))
+  val SimhashBits = 60
 
-  /** MinHash signature: for each of k hash families, the min xxhash64
-    * over the doc's shingles. Computed as explode + one hash aggregate
+  /** MinHash signature: for each of k hash families, the min over the
+    * doc's shingles of `md5(shingle # k)` compared AS A HEX STRING —
+    * a PORTABLE hash family (md5 is bit-identical in every engine, and
+    * string min is plain lexicographic order), which is what lets the
+    * driver's DuckDB oracle reproduce the banding/bucketing EXACTLY
+    * (round-5 verdict item 1: the only reason q26 was rows-only was an
+    * engine-private xxhash64). Computed as explode + one hash aggregate
     * with k `min` columns — fully codegen'd (nested higher-order
     * functions would run interpreted and were ~20x slower). */
   private def signatures(d: DataFrame): DataFrame = {
-    val mins = (0 until MinhashK).map(k => min(xxhash64(col("shingle"), lit(k))).as(s"m$k"))
+    val mins = (0 until MinhashK).map(k =>
+      min(md5(concat_ws("#", col("shingle"), lit(k)))).as(s"m$k"))
     shingles(d)
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
@@ -61,15 +70,17 @@ object DedupOps {
     }),
 
     // MinHash + LSH banding: candidates = pairs sharing a band bucket
-    // (equi-join on (band, bucket-hash)); est similarity = fraction of
-    // matching minhash components. Hash-dependent -> spec-tested vs the
-    // exact Jaccard oracle, rows-only driver check.
+    // (equi-join on (band, md5-of-band-slice)); est similarity =
+    // fraction of matching minhash components. The portable md5 hash
+    // family makes the whole pipeline — signatures, banding, candidate
+    // join, estimate — reproducible in DuckDB: EXACT driver gate, plus
+    // the recall spec vs the exact Jaccard oracle.
     "q26_dedup_minhash_lsh" -> ((s, dir) => {
       val sig = graft.Materialize(signatures(docs(s, dir)))
       val rowsPerBand = MinhashK / Bands
       val banded = sig.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)), bnd =>
-          xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)), bnd))))
+          md5(concat_ws("|", slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
       val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
@@ -100,25 +111,30 @@ object DedupOps {
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
     }),
 
-    // SimHash near-dup: 64-bit signature per doc, candidate pairs by
-    // identical 16-bit quarter (LSH on bit-chunks), keep hamming <= 6.
-    // Signature built with explode + 64 codegen'd sum aggregates (the
+    // SimHash near-dup: 60-bit signature per doc, candidate pairs by
+    // identical 15-bit chunk (LSH on bit-chunks), keep hamming <= 6.
+    // The token hash is PORTABLE — the top 60 bits of md5(token)
+    // (15 hex chars) as an integer, identical in any engine — so the
+    // driver's DuckDB oracle reproduces signatures, chunk buckets and
+    // hamming distances exactly (was rows-only under xxhash64).
+    // Signature built with explode + 60 codegen'd sum aggregates (the
     // HOF bit-vote loop runs interpreted and was ~10x slower).
     "q27_dedup_simhash" -> ((s, dir) => {
-      val votes = (0 until 64).map(b => sum(
+      val votes = (0 until SimhashBits).map(b => sum(
         when(call_function("shiftright", col("h"), lit(b)).bitwiseAND(lit(1L)) === 1L, 1)
           .otherwise(-1)).as(s"v$b"))
-      val assembled = (0 until 64).map(b =>
+      val assembled = (0 until SimhashBits).map(b =>
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
       val sigd = graft.Materialize(docs(s, dir)
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
         .groupBy(col("doc_id"))
         .agg(votes.head, votes.tail: _*)
         .select(col("doc_id"), assembled.as("sim")))
       val chunked = sigd.select(col("doc_id"), col("sim"),
         posexplode(transform(sequence(lit(0), lit(3)), q =>
-          call_function("shiftright", col("sim"), q * lit(16)).bitwiseAND(lit(0xFFFFL)))))
+          call_function("shiftright", col("sim"), q * lit(15)).bitwiseAND(lit(0x7FFFL)))))
         .withColumnRenamed("pos", "q").withColumnRenamed("col", "chunk")
       val a = chunked.select(col("q"), col("chunk"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
       val b = chunked.select(col("q"), col("chunk"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
@@ -131,18 +147,24 @@ object DedupOps {
     })
   )
 
-  /** The exact-Jaccard pair pipeline as shared DuckDB CTEs (table
-    * `pairs(doc_a, doc_b, jaccard)`) — q25 selects it directly; q57
-    * closes it transitively. */
-  private val pairsCtes =
-    s"""toks AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  /** The word-3-gram shingle set as DuckDB CTEs (`sh(doc_id, shingle)`)
+    * — shared by the exact-Jaccard pairs below and the q26 minhash
+    * oracle. */
+  private val shingleCtes =
+    """toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
            FROM documents),
          sh AS (
            SELECT DISTINCT doc_id,
              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
            FROM toks, LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
-           WHERE len(ws) >= 3),
+           WHERE len(ws) >= 3)"""
+
+  /** The exact-Jaccard pair pipeline as shared DuckDB CTEs (table
+    * `pairs(doc_a, doc_b, jaccard)`) — q25 selects it directly; q57
+    * closes it transitively. */
+  private val pairsCtes =
+    s"""$shingleCtes,
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          shc AS (
            SELECT doc_id, shingle FROM (
@@ -179,8 +201,66 @@ object DedupOps {
            UNION
            SELECT e.a, r.comp FROM e JOIN reach r ON r.node = e.b)
          SELECT node AS doc_id, min(comp) AS cluster_id
-         FROM reach GROUP BY node"""
-    // q26/q27: xxhash64-based — not reproducible in DuckDB; spec-tested
-    // against the exact-Jaccard oracle instead (DedupSpec).
+         FROM reach GROUP BY node""",
+    // the FULL minhash/LSH pipeline reproduced: same md5 hash family,
+    // same string-min signatures, same band buckets, same estimate —
+    // the gate checks candidate generation and similarity estimation
+    // exactly, not just row counts
+    "q26_dedup_minhash_lsh" ->
+      s"""WITH $shingleCtes,
+         sig AS (
+           SELECT doc_id, k, min(md5(shingle || '#' || CAST(k AS VARCHAR))) AS m
+           FROM sh, LATERAL unnest(range($MinhashK)) AS t(k)
+           GROUP BY doc_id, k),
+         bands AS (
+           SELECT doc_id, k // ${MinhashK / Bands} AS band,
+             md5(string_agg(m, '|' ORDER BY k)) AS bucket
+           FROM sig GROUP BY doc_id, k // ${MinhashK / Bands}),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         est AS (
+           SELECT doc_a, doc_b,
+             round(CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST($MinhashK AS DOUBLE), 4) AS est_sim
+           FROM cand
+           JOIN sig sa ON sa.doc_id = doc_a
+           JOIN sig sb ON sb.doc_id = doc_b AND sb.k = sa.k
+           GROUP BY doc_a, doc_b)
+         SELECT doc_a, doc_b, est_sim FROM est WHERE est_sim >= 0.25""",
+    // the FULL simhash pipeline reproduced bit-for-bit: same md5-top-60
+    // token hash, same per-bit majority votes, same 15-bit chunk LSH,
+    // same hamming threshold (SQL generated: 60 vote aggregates)
+    "q27_dedup_simhash" -> {
+      val votes = (0 until SimhashBits)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(",\n             ")
+      val assembled = (0 until SimhashBits)
+        .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" | ")
+      s"""WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+           FROM documents),
+         hashes AS (
+           SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+           FROM toks),
+         votes AS (
+           SELECT doc_id,
+             $votes
+           FROM hashes GROUP BY doc_id),
+         sig AS (SELECT doc_id, $assembled AS sim FROM votes),
+         chunks AS (
+           SELECT doc_id, sim, q, (sim >> (q * 15)) & 32767 AS chunk
+           FROM sig, LATERAL unnest(range(4)) AS t(q)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sim AS sim_a, b.sim AS sim_b
+           FROM chunks a JOIN chunks b
+             ON a.q = b.q AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6"""
+    }
   )
 }

@@ -124,13 +124,23 @@ object ExtraOps {
     }),
 
     // file-provenance: event-time/lineage parsed from the input file
-    // path (the reference parses event time from filenames,
-    // SYMPHONIEReader.py:71-78); input_file_name has no DuckDB
-    // equivalent -> rows-only
+    // PATH (the reference parses event time from filenames,
+    // SYMPHONIEReader.py:71-78). The events table is staged into a
+    // hive-partitioned layout whose DIRECTORY names are deterministic
+    // (part-file names are not), so the path-derived provenance is
+    // exactly checkable: the oracle knows each row's source directory
+    // is its event_type partition. The operator under test is still
+    // input_file_name + a regexp over the PATH — not a column read
+    // (partitionBy drops event_type from the files themselves).
     "q43_file_provenance" -> ((s, dir) => {
+      val tmp = graft.Scratch.dirFor("prov", dir)
       s.read.parquet(s"$dir/events.parquet")
-        .groupBy(regexp_extract(input_file_name(), "([^/]+)\\.parquet", 1).as("source_file"))
-        .agg(count(lit(1)).as("rows"), min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(regexp_extract(input_file_name(), "event_type=([^/]+)/", 1)
+          .as("source_file"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
     }),
 
     // ASCII/TSV sink + source round-trip (the reference's ASCII
@@ -227,6 +237,12 @@ object ExtraOps {
     "q38_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    // the staged layout makes path-provenance deterministic: each
+    // source directory IS the row's event_type partition
+    "q43_file_provenance" ->
+      """SELECT event_type AS source_file, count(*) AS n_rows,
+         min(event_id) AS min_id, max(event_id) AS max_id
          FROM events GROUP BY event_type""",
     "q40_stream_window" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,

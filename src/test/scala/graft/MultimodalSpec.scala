@@ -42,16 +42,19 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("stubDecode golden values (audio/video stub path)") {
-    val ab = "abc".getBytes("UTF-8")
+    val ab = "abc".getBytes("UTF-8") // n=3, b0='a'=97, bl='c'=99
     val (f2, w2, h2, n2) = MultimodalOps.stubDecode(ab, "audio")
-    val ck = ab.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
-    assert((w2, h2) == (16 + math.abs(ck % 64).toInt, 16 + math.abs((ck / 64) % 64).toInt))
+    // SQL-expressible contract: width/height/norm from (len, first byte,
+    // last byte) only — the q35 oracle recomputes these in DuckDB
+    assert((w2, h2) == (16 + ((3 * 31 + 97) % 64), 16 + ((3 * 17 + 99) % 64)))
     assert(f2 == 1)
+    assert(n2 == ((3L * 131 + 97L * 31 + 99L * 7) % 100000L) / 100000.0)
     val (f3, _, _, n3) = MultimodalOps.stubDecode(ab, "video")
     assert(f3 == 1 + ab.length % 16)
     assert(n2 >= 0.0 && n2 < 1.0 && n3 == n2, "norm is in [0,1) and type-independent")
-    // determinism across calls
+    // determinism across calls; empty payload well-defined
     assert(MultimodalOps.stubDecode(ab, "audio") == MultimodalOps.stubDecode(ab, "audio"))
+    assert(MultimodalOps.stubDecode(Array.empty[Byte], "audio") == (1, 16, 16, 0.0))
   }
 
   test("q35 distributed features equal driver-side recomputation") {
