@@ -35,6 +35,7 @@ object Submit {
       |  tail <logDir> <tableDir> <checkpointDir> [--audit DIR] [--dlq DIR]
       |       [--compact-every N] [--adaptive-salt [THRESHOLD]]
       |       [--max-files-per-trigger N] [--layout sniff|json|typed]
+      |       [--writer ID]
       |  compact <tableDir> [minDeltas]
       |  vacuum <tableDir> [keep] [graceMs]
       |  replay-dlq <dlqDir> <tableDir> [--max-driver-rows N]""".stripMargin
@@ -64,7 +65,10 @@ object Submit {
         },
         // --layout json|typed pins the segment payload layout for a tail
         // started before its producer (nothing to sniff yet)
-        layout = opts.getOrElse("layout", "sniff"))
+        layout = opts.getOrElse("layout", "sniff"),
+        // --writer gives this tail its own idempotence namespace — set
+        // it on every tail when MORE THAN ONE ingest job feeds a table
+        writer = opts.getOrElse("writer", graft.cdc.LakeTable.DefaultWriter))
 
     case "compact" :: tableDir :: rest if rest.sizeIs <= 1 =>
       val minDeltas = rest.headOption.map(_.toInt).getOrElse(2)

@@ -206,7 +206,13 @@ object Pipeline {
       compactEvery: Int = 0,
       dlq: Option[DeadLetterQueue] = None,
       adaptive: Option[AdaptiveSalt] = None,
-      layout: String = "sniff"): Unit = {
+      layout: String = "sniff",
+      // idempotence namespace for THIS tail (Snapshot.writerEpochs):
+      // two ingest jobs tailing disjoint sources into one table must
+      // not share the default batch-id watermark, or whichever starts
+      // second sees its batch 0 as "already applied" and silently
+      // drops it
+      writer: String = LakeTable.DefaultWriter): Unit = {
     val table = new LakeTable(tableDir)
     // segment layout: typed segments store after/before as structs, and
     // reading them under the JSON envelope schema fails the scan on the
@@ -263,7 +269,7 @@ object Pipeline {
         val hint = ParquetStats.maxIntOfFiles(batch.sparkSession,
           sourceBatchFiles(batch.sparkSession, checkpointDir, epochId), "schemaVersion")
         Apply.applyEpoch(batch.sparkSession, table, batch, epochId, audit,
-          versionHint = hint, adaptive = adaptive, dlq = dlq)
+          versionHint = hint, adaptive = adaptive, dlq = dlq, writer = writer)
         if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) {
           table.compactBuckets(batch.sparkSession, compactEvery)
           audit.foreach(_.compactAsync(batch.sparkSession))

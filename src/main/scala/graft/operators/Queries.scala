@@ -139,6 +139,21 @@ object Queries {
           AND e.ts >= p.probe_ts - INTERVAL 12 HOUR
           AND e.ts <= p.probe_ts + INTERVAL 12 HOUR
          GROUP BY p.user_id, p.probe_ts""",
+    // identical semantics to q18 — the gate difference is the ENGINE
+    // path (natural predicate + BandedRangeJoinRule), not the answer
+    "q68_range_join_rule" ->
+      """WITH probes AS (
+           SELECT user_id, probe_ts
+           FROM (SELECT DISTINCT user_id FROM events),
+             LATERAL unnest(generate_series(TIMESTAMP '2024-01-02',
+               TIMESTAMP '2024-01-30', INTERVAL 6 HOUR)) AS t(probe_ts))
+         SELECT p.user_id, p.probe_ts, count(*) AS n_near,
+           round(avg(e.value), 6) AS avg_value
+         FROM probes p JOIN events e
+           ON e.user_id = p.user_id
+          AND e.ts >= p.probe_ts - INTERVAL 12 HOUR
+          AND e.ts <= p.probe_ts + INTERVAL 12 HOUR
+         GROUP BY p.user_id, p.probe_ts""",
     "q19_nn_join" ->
       """SELECT c_custkey, min_by(n_name, dist) AS nearest_station FROM (
            SELECT c.c_custkey, n.n_name,

@@ -232,6 +232,30 @@ object Relational {
         .agg(count(lit(1)).as("n_near"), round(avg(col("value")), 6).as("avg_value"))
     }),
 
+    // §2.4 the SAME tolerance range join through the optimizer RULE —
+    // the user-facing path: the join is written with the natural
+    // `abs(l - r) <= d` predicate (which alone would plan as an
+    // equi-join whose per-key candidate set is the key's whole
+    // history) and graft.plans.BandedRangeJoinRule rewrites it to the
+    // banded equi-join q18 builds by hand. Same oracle as q18, so the
+    // gate proves the rewrite end-to-end: natural predicate in, banded
+    // plan out (plan-asserted in BandedRangeJoinRuleSpec), exact rows
+    // out. Runs in a child session so the injected rule cannot touch
+    // the other queries' sessions.
+    "q68_range_join_rule" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.experimental.extraOptimizations = Seq(graft.plans.BandedRangeJoinRule)
+      val deltaUs = 12L * 3600L * 1000000L
+      val e = t(s, dir, "events").select(col("user_id").as("e_uid"), col("value"),
+        unix_micros(col("ts").cast("timestamp")).as("_eus"))
+      probeGrid(s, dir)
+        .withColumn("_pus", unix_micros(col("probe_ts").cast("timestamp")))
+        .join(e, col("user_id") === col("e_uid") &&
+          abs(col("_pus") - col("_eus")) <= lit(deltaUs))
+        .groupBy(col("user_id"), col("probe_ts"))
+        .agg(count(lit(1)).as("n_near"), round(avg(col("value")), 6).as("avg_value"))
+    }),
+
     // §2.4 nearest-neighbor join (station x grid, Coverage.py:460-559):
     // synthesize station coords from nation, customer coords from key,
     // broadcast the small side, min_by(haversine)

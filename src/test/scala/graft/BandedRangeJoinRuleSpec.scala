@@ -212,4 +212,19 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite {
       assert(z.count() >= 0) // still executable
     }
   }
+
+  test("q68 gate: the natural-predicate range join goes through the rule, banded plan") {
+    // the user-facing end-to-end path the driver gates: same semantics
+    // as q18 (hand-banded), but the banding comes from the RULE
+    val df = SparkEntry.queries("q68_range_join_rule")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("_graft_bin"), s"q68 did not go through the rule:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q68 planned a product join:\n${plan.take(1500)}")
+    // and the answer equals the hand-banded q18 exactly
+    val a = df.collect().map(_.toSeq).toSet
+    val b = SparkEntry.queries("q18_range_join_time")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSet
+    assert(a == b, s"q68 != q18: ${a.size} vs ${b.size} rows")
+  }
 }

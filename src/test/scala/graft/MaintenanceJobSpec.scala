@@ -144,4 +144,66 @@ class MaintenanceJobSpec extends AnyFunSuite {
     val want = Oracle.fold(spark, ChangeLogGen.events(spark, cfg).drop("delivery"))
     assertSameState(table.read(spark), want)
   }
+
+  test("TWO concurrent ingest writers (disjoint sources) + racing compactor: exact merge, both watermarks") {
+    // the multi-writer ingest shape writerEpochs exists for: two
+    // checkpointed Submit-style tails, each with its OWN writer
+    // namespace, feed disjoint key spaces of ONE table while a
+    // compactor races both. Same-namespace tails would collide batch
+    // ids (the second's epoch 0 looks already-applied and is silently
+    // dropped) — the --writer flag is the documented fix.
+    val cfg = GenConfig(numEvents = 8000L, numRepos = 20L, pathsPerRepo = 6L)
+    val dir = TestSpark.tmpDir("maint-2w")
+    val tableDir = s"$dir/t"
+    val segs = 5
+    Pipeline.writeLogSegments(spark, cfg, s"$dir/logA", segs)
+    // source B: same generator, keys made disjoint by a repo prefix
+    // (standing in for a second upstream database/binlog)
+    Pipeline.writeLogSegments(spark, cfg, s"$dir/logB0", segs)
+    (0 until segs).foreach { i =>
+      spark.read.schema(Pipeline.envelopeSchema).parquet(f"$dir/logB0/seg-$i%05d")
+        .withColumn("repo", concat(lit("b~"), col("repo")))
+        .write.mode("overwrite").parquet(f"$dir/logB/seg-$i%05d")
+    }
+
+    @volatile var stop = false
+    val sweepCommits = new AtomicInteger(0)
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val sweeper = new Thread(() => {
+      while (!stop) {
+        try {
+          if (new LakeTable(tableDir).compactBuckets(spark, minDeltas = 2).nonEmpty)
+            sweepCommits.incrementAndGet()
+        } catch { case e: Throwable => failures.add(e) }
+        Thread.sleep(20L)
+      }
+    }, "sweeper-2w")
+    sweeper.setDaemon(true); sweeper.start()
+    def tail(log: String, ck: String, writer: String): Thread = {
+      val t = new Thread(() => {
+        try Pipeline.runStream(spark, log, tableDir, ck, writer = writer)
+        catch { case e: Throwable => failures.add(e) }
+      }, s"tail-$writer")
+      t.start(); t
+    }
+    val ta = tail(s"$dir/logA", s"$dir/ckA", LakeTable.DefaultWriter)
+    val tb = tail(s"$dir/logB", s"$dir/ckB", "ingest-b")
+    try { ta.join(300000L); tb.join(300000L) }
+    finally { stop = true; sweeper.join(60000L) }
+    assert(!ta.isAlive && !tb.isAlive, "a tail did not drain")
+    assert(failures.isEmpty, s"a writer/sweeper threw: ${Option(failures.peek()).getOrElse("")}")
+
+    // both idempotence watermarks advanced independently to their last
+    // batch id; neither writer stole or skipped the other's sequence
+    val snap = new LakeTable(tableDir).latest().get
+    assert(snap.epochId == (segs - 1).toLong, s"writer A mark: ${snap.epochId}")
+    assert(snap.watermark("ingest-b") == (segs - 1).toLong,
+      s"writer B mark: ${snap.watermark("ingest-b")}")
+
+    // merged state == union of the two independent single-source folds
+    val wantA = Oracle.fold(spark, ChangeLogGen.events(spark, cfg).drop("delivery"))
+    val wantB = Oracle.fold(spark, ChangeLogGen.events(spark, cfg).drop("delivery")
+      .withColumn("repo", concat(lit("b~"), col("repo"))))
+    assertSameState(new LakeTable(tableDir).read(spark), wantA.unionByName(wantB))
+  }
 }
