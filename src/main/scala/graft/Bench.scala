@@ -306,6 +306,24 @@ object Bench {
     rmTree(logDir)
     Pipeline.writeLogSegments(spark, benchCfg(cdcEvents), logDir, cdcEpochs,
       filesPerSegment = 0, typedPayload = typedLog)
+    // SPARK_GRAFT_CDC_FLOOD_SEG=N rewrites segment N into an adversarial
+    // key flood (all events collapse onto 4 hot repos, ~400 distinct
+    // keys) — the endurance scenario for the adaptive-salt controller:
+    // run with SPARK_GRAFT_CDC_ADAPTIVE and GRAFT_APPLY_TIMING to see
+    // the trigger flip after the flood epoch and release one epoch later
+    sys.env.get("SPARK_GRAFT_CDC_FLOOD_SEG").map(_.toInt).foreach { sIdx =>
+      import org.apache.spark.sql.functions._
+      val seg = f"$logDir/seg-$sIdx%05d"
+      val schema = if (typedLog) Pipeline.typedEnvelopeSchema else Pipeline.envelopeSchema
+      spark.read.schema(schema).parquet(seg)
+        .withColumn("repo",
+          concat(lit("org/hot-"), pmod(xxhash64(col("path")), lit(4L))))
+        .write.mode("overwrite").parquet(s"$seg.flood")
+      rmTree(seg)
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$seg.flood"),
+        java.nio.file.Paths.get(seg))
+      System.err.println(s"[bench] segment $sIdx rewritten as a 4-hot-repo key flood")
+    }
     // Per-query failures are NOT swallowed: a crashed query must read
     // as a failure, not as a suspiciously fast timing.
     val results = (if (skipQueries) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1))

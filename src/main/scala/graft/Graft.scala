@@ -87,8 +87,9 @@ object Graft {
     * the now-clean rows as one fresh epoch, prunes drained quarantine
     * partitions. See [[graft.cdc.DeadLetterQueue.replay]]. */
   def replayDeadLetters(spark: SparkSession, dlqDir: String,
-      tableDir: String): graft.cdc.DlqReplayStats =
-    new graft.cdc.DeadLetterQueue(dlqDir).replay(spark, new LakeTable(tableDir))
+      tableDir: String, maxDriverRows: Long = 100000L): graft.cdc.DlqReplayStats =
+    new graft.cdc.DeadLetterQueue(dlqDir).replay(spark, new LakeTable(tableDir),
+      maxDriverRows)
 
   /** Tail a directory of binlog segments as a Structured Stream into
     * the lake table, checkpointed and exactly-once; resumes from
@@ -530,6 +531,7 @@ object Graft {
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIter) {
+        val trStart = System.nanoTime() // GRAFT_CC_TIMING per-round stamp
         // (1) propagate the min label across edges. The previous label
         // rides along (as `_old`: present exactly once per node, on the
         // self row of the union) so convergence is observable in pass
@@ -554,6 +556,9 @@ object Graft {
             .as("changed"))
           .drop("_old"))
         changed = obs.get.get("changed").collect { case l: Long => l }.getOrElse(0L)
+        if (sys.env.contains("GRAFT_CC_TIMING"))
+          System.err.println(f"[cc] round=$iter changed=$changed " +
+            f"wall=${(System.nanoTime() - trStart) / 1e9}%.2fs")
         labels.unpersist()
         prop.unpersist()
         labels = next

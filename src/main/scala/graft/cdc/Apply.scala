@@ -239,7 +239,9 @@ object Apply {
     if (commit.committed) audit.foreach(_.recordAsync(spark, table, commit.group, obs.get, stats))
     if (sys.env.contains("GRAFT_APPLY_TIMING"))
       System.err.println(f"[apply] epoch=$epochId probe=${(tProbe - t1) / 1e9}%.2fs " +
-        f"upsert=${(tUpsert - tProbe) / 1e9}%.2fs audit=${(t() - tUpsert) / 1e9}%.2fs")
+        f"upsert=${(tUpsert - tProbe) / 1e9}%.2fs audit=${(t() - tUpsert) / 1e9}%.2fs " +
+        s"salted=$useSalt" +
+        adaptive.map(a => f" ratio=${a.lastRatio}%.1f engagedNext=${a.engaged}").getOrElse(""))
     stats
   }
 
