@@ -250,6 +250,10 @@ object Bench {
     val proc = pb.start()
     val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toSeq
     proc.waitFor()
+    // surface the subprocess's own diagnostics (per-epoch GRAFT_APPLY_TIMING
+    // lines, per-run [bench] split) — the endurance/flood evidence
+    out.filter(l => l.startsWith("[apply]") || l.startsWith("[bench]"))
+      .foreach(System.err.println)
     def grabLine(prefix: String): Option[String] =
       out.collectFirst { case s if s.startsWith(prefix) => s.stripPrefix(prefix) }
     def missing(prefix: String): Unit =

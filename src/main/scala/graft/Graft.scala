@@ -86,8 +86,9 @@ object Graft {
     * quarantine rows or an evolved registry): re-classifies, applies
     * the now-clean rows as one fresh epoch, prunes drained quarantine
     * partitions. See [[graft.cdc.DeadLetterQueue.replay]]. */
-  def replayDeadLetters(spark: SparkSession, dlqDir: String,
-      tableDir: String, maxDriverRows: Long = 100000L): graft.cdc.DlqReplayStats =
+  def replayDeadLetters(spark: SparkSession, dlqDir: String, tableDir: String,
+      maxDriverRows: Long = graft.cdc.DeadLetterQueue.DefaultMaxDriverRows)
+      : graft.cdc.DlqReplayStats =
     new graft.cdc.DeadLetterQueue(dlqDir).replay(spark, new LakeTable(tableDir),
       maxDriverRows)
 
@@ -95,8 +96,17 @@ object Graft {
     * the lake table, checkpointed and exactly-once; resumes from
     * `checkpointDir` after a crash. */
   def streamChangeLog(spark: SparkSession, logDir: String, tableDir: String,
-      checkpointDir: String, auditDir: Option[String] = None): Unit =
-    Pipeline.runStream(spark, logDir, tableDir, checkpointDir, auditDir.map(new Audit(_)))
+      checkpointDir: String, auditDir: Option[String] = None,
+      // "sniff" | "json" | "typed": pin the segment payload layout when
+      // the tail starts before its producer (empty dir = nothing to
+      // sniff -> runStream fails fast and points here)
+      layout: String = "sniff",
+      // idempotence namespace — REQUIRED distinct per tail when more
+      // than one ingest job feeds the same table (a shared namespace
+      // silently drops the second tail's colliding batch ids)
+      writer: String = graft.cdc.LakeTable.DefaultWriter): Unit =
+    Pipeline.runStream(spark, logDir, tableDir, checkpointDir,
+      auditDir.map(new Audit(_)), layout = layout, writer = writer)
 
   // ---- DataFrame operators ------------------------------------------
 

@@ -35,8 +35,11 @@ object ScaleFixture {
       docs.select(
         (col("doc_id") + lit(i.toLong * n)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", "$1~" + i).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
     }.reduce(_ unionByName _)
+      // n_chars recomputed — the token rewrite (+2 chars/token) made
+      // the source column stale for this corpus
+      .withColumn("n_chars", length(col("text")).cast("long"))
     scaled.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"""{"fixture":"$out","docs":${n * factor},"factor":$factor}""")
     spark.stop()

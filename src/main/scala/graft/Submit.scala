@@ -84,7 +84,8 @@ object Submit {
     case "replay-dlq" :: dlqDir :: tableDir :: flags =>
       val opts = parseFlags(flags)
       val stats = new DeadLetterQueue(dlqDir).replay(spark, new LakeTable(tableDir),
-        maxDriverRows = opts.get("max-driver-rows").map(_.toLong).getOrElse(100000L))
+        maxDriverRows = opts.get("max-driver-rows").map(_.toLong)
+          .getOrElse(DeadLetterQueue.DefaultMaxDriverRows))
       println(s"""{"job":"replay-dlq","applied":${stats.applied},""" +
         s""""remaining":${stats.remaining},"epoch":${stats.epoch.getOrElse(-1L)}}""")
 

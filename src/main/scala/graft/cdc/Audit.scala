@@ -203,7 +203,8 @@ final class Audit(val dir: String) {
     * mergeSchema: an audit dir may span engine versions that added
     * metric columns (e.g. late_events); a single-footer schema would
     * read such a dir nondeterministically. */
-  def read(spark: SparkSession, pinTimeoutMs: Long = 30000L): DataFrame = {
+  def read(spark: SparkSession, pinTimeoutMs: Long = 30000L,
+      unpinnedFallback: Boolean = false): DataFrame = {
     val root = java.nio.file.Paths.get(dir)
     val files = new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
@@ -227,18 +228,28 @@ final class Audit(val dir: String) {
     })
     // BOUNDED await: behind a deep recordAsync/compactAsync backlog the
     // serialized listing may not get its turn for a long time, and a
-    // monitoring read must not hang indefinitely. On timeout, fall back
-    // to an UNPINNED direct directory read — weaker coherence (it can
-    // race an in-flight compaction's publish, the pre-round-5 behavior)
-    // but it returns, which is what a stalled monitor needs. Interrupts
-    // propagate so a stuck reader can be cancelled.
+    // monitoring read must not hang indefinitely. On timeout the
+    // DEFAULT is to FAIL with an actionable error — the pinned
+    // snapshot is the coherence guarantee callers rely on, and
+    // silently downgrading to an unpinned directory read could
+    // double-count a compaction's inputs+output or scan files it is
+    // deleting. Callers that prefer availability over coherence (a
+    // dashboard) opt in with `unpinnedFallback = true` (stderr-warned).
+    // Interrupts propagate so a stuck reader can be cancelled.
     val pinned =
       latch.await(pinTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     if (!pinned) {
+      if (!unpinnedFallback)
+        throw new java.util.concurrent.TimeoutException(
+          s"audit read: pinned-snapshot listing did not complete within " +
+            s"${pinTimeoutMs}ms (deep recordAsync/compactAsync backlog?) — " +
+            "retry with a larger pinTimeoutMs, call flush() first for a " +
+            "quiescent read, or pass unpinnedFallback=true to accept an " +
+            "UNPINNED directory read (may race an in-flight compaction)")
       System.err.println(
         s"[audit] WARN: pinned-snapshot listing did not complete within " +
-          s"${pinTimeoutMs}ms (deep async backlog?); returning an UNPINNED " +
-          "directory read — call flush() first for a coherent snapshot")
+          s"${pinTimeoutMs}ms; returning an UNPINNED directory read " +
+          "(opt-in) — call flush() first for a coherent snapshot")
       return spark.read.option("mergeSchema", "true").parquet(dir)
     }
     Option(err.get()).foreach(t => throw t)

@@ -38,6 +38,8 @@ final class DeadLetterQueue(val root: String) {
     * namespace — see [[Snapshot.writerEpochs]]). */
   val ReplayWriter = "dlq-replay"
 
+  import DeadLetterQueue.DefaultMaxDriverRows
+
   /** Reasons, coarsest-first (a row gets its FIRST matching reason). */
   val ReasonNullKey = "null_key"
   val ReasonUnknownOp = "unknown_op"
@@ -135,7 +137,7 @@ final class DeadLetterQueue(val root: String) {
     *        driver-materialized), or raise the bound deliberately.
     */
   def replay(spark: SparkSession, table: LakeTable,
-      maxDriverRows: Long = 100000L): DlqReplayStats = {
+      maxDriverRows: Long = DefaultMaxDriverRows): DlqReplayStats = {
     val all = read(spark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -200,6 +202,13 @@ final class DeadLetterQueue(val root: String) {
       DlqReplayStats(applied = requeued, remaining = stillRows.length.toLong, epoch = Some(epochId))
     } finally all.unpersist(blocking = false)
   }
+}
+
+object DeadLetterQueue {
+  /** The ONE definition of the replay driver-materialization bound —
+    * referenced by the facade (Graft.replayDeadLetters) and the CLI
+    * (Submit --max-driver-rows) so the three layers cannot drift. */
+  val DefaultMaxDriverRows = 100000L
 }
 
 /** `applied` = keys upserted by the replay epoch (0 when nothing was

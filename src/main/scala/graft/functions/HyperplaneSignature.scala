@@ -94,7 +94,12 @@ object HyperplaneSignature {
     * signed 64-bit integer with no overflow wrap, and the final value
     * is a dyadic rational, so ANY engine (notably the DuckDB oracle,
     * which has no wrapping 64-bit multiply) computes the identical
-    * double: `((k*2654435761 + 40503) % 2^31) / 2^30 - 1`. That
+    * double. Formula (two multiply/xorshift rounds — one affine round
+    * is a lattice: planes come out correlated and LSH recall
+    * collapses, measured round 6):
+    *   x1 = (k*3266489917 + 40503) mod 2^31;  x2 = x1 xor (x1 >> 14)
+    *   x3 = (x2*2246822519) mod 2^31;         x4 = x3 xor (x3 >> 12)
+    *   w  = x4 / 2^30 - 1. That
     * portability is what makes the q29 ANN gate an exact cross-engine
     * hash match; as an LSH hyperplane family only decorrelation
     * matters, not cryptographic mixing. Called from both the

@@ -74,8 +74,9 @@ object SimilarityOps {
     // cid), exact-cosine rerank. The second scale path for similarity
     // search next to the hyperplane-LSH q29 (the prompt's "IVF or
     // LSH-bucketed variant"): at 100x, cost per query is
-    // O(probes/K · n) instead of O(n). Hash/iteration-dependent ->
-    // rows-only driver check; recall + pruning asserted in spec.
+    // O(probes/K · n) instead of O(n). EXACT driver gate (the full
+    // one-Lloyd-iteration pipeline is SQL-expressible — see the q52
+    // oracle below); recall + pruning asserted in spec.
     "q52_ann_ivf" -> ((s, dir) => {
       val (lists, centroids) = ivfIndex(emb(s, dir))
       val listsM = graft.Materialize(lists)

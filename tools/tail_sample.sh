@@ -27,8 +27,11 @@ JAVA="java -Xmx16g -Xms16g -XX:+AlwaysPreTouch $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp target/scala-2.13/classes:/opt/spark/jars/*"
 
-if [ ! -d "$SF1/documents.parquet" ]; then
+# _SUCCESS marker, not the directory: a killed builder leaves a partial
+# dir that would silently benchmark a truncated corpus
+if [ ! -f "$SF1/documents.parquet/_SUCCESS" ]; then
   echo "[tail] building 10x fixture at $SF1"
+  rm -rf "$SF1/documents.parquet"
   $JAVA graft.ScaleFixture /root/testdata/sf0.1 "$SF1" 10
 fi
 
