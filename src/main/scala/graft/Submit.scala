@@ -36,7 +36,7 @@ object Submit {
       |       [--compact-every N] [--adaptive-salt [THRESHOLD]]
       |       [--max-files-per-trigger N] [--layout sniff|json|typed]
       |       [--writer ID]
-      |  compact <tableDir> [minDeltas]
+      |  compact <tableDir> [minDeltas] [--purge-tombstones-below LSN]
       |  vacuum <tableDir> [keep] [graceMs]
       |  replay-dlq <dlqDir> <tableDir> [--max-driver-rows N]""".stripMargin
 
@@ -70,9 +70,17 @@ object Submit {
         // it on every tail when MORE THAN ONE ingest job feeds a table
         writer = opts.getOrElse("writer", graft.cdc.LakeTable.DefaultWriter))
 
-    case "compact" :: tableDir :: rest if rest.sizeIs <= 1 =>
-      val minDeltas = rest.headOption.map(_.toInt).getOrElse(2)
-      val done = new LakeTable(tableDir).compactBuckets(spark, minDeltas)
+    case "compact" :: tableDir :: rest =>
+      val (pos, flagList) = rest.span(!_.startsWith("--"))
+      if (pos.sizeIs > 1) throw new IllegalArgumentException(usage)
+      val opts = parseFlags(flagList)
+      val minDeltas = pos.headOption.map(_.toInt).getOrElse(2)
+      // tombstone retention: sweeps RETAIN op='D' rows (late lower-LSN
+      // arrivals must still lose to the delete); pass the horizon
+      // explicitly once the delivery contract bounds lateness
+      val purge = opts.get("purge-tombstones-below").map(_.toLong)
+        .getOrElse(Long.MinValue)
+      val done = new LakeTable(tableDir).compactBuckets(spark, minDeltas, purge)
       println(s"""{"job":"compact","buckets":${done.size}}""")
 
     case "vacuum" :: tableDir :: rest if rest.sizeIs <= 2 =>

@@ -530,17 +530,30 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   }
 
   private def readAt(spark: SparkSession, snapshot: Option[Snapshot],
+      onlyBuckets: Option[Set[Int]] = None): DataFrame =
+    reconstructAt(spark, snapshot, onlyBuckets)
+      .filter(col("op") =!= "D")
+      .drop("op")
+
+  /** Per-key LWW winner rows WITH the winning `op` retained (op='D'
+    * rows are the live tombstones). This is what COMPACTION must fold:
+    * dropping a tombstone erases the delete's LSN, and a late
+    * lower-LSN row landing in a later epoch (bounded disorder, a DLQ
+    * replay, an out-of-order multi-writer epoch) would then win the
+    * reconstruction and RESURRECT the deleted key — the round-6
+    * EndToEndSpec caught exactly that. Visible reads filter the
+    * tombstones at the end (readAt). */
+  private def reconstructAt(spark: SparkSession, snapshot: Option[Snapshot],
       onlyBuckets: Option[Set[Int]] = None): DataFrame = {
     val payload = SchemaRegistry.currentPayloadNames
     val valueCols = Seq("op", "lsn", "ts") ++ payload
     rawRows(spark, snapshot, onlyBuckets) match {
       case None =>
-        // same shape as the non-empty branch (which drops `op` after
-        // filtering tombstones) — a read must not change schema with
-        // table emptiness
+        // same shape as the non-empty branch — a read must not change
+        // schema with table emptiness
         val fields = Seq(
           StructField("repo", StringType), StructField("path", StringType),
-          StructField("lsn", LongType),
+          StructField("op", StringType), StructField("lsn", LongType),
           StructField("ts", TimestampType)) ++
           SchemaRegistry.fields.map(f => StructField(f.current.name, f.current.dataType))
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
@@ -548,8 +561,6 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
         df.groupBy(col("repo"), col("path"))
           .agg(max_by(struct(valueCols.map(col): _*), col("lsn")).as("s"))
           .select(col("repo") +: col("path") +: valueCols.map(c => col(s"s.$c").as(c)): _*)
-          .filter(col("op") =!= "D")
-          .drop("op")
     }
   }
 
@@ -660,17 +671,30 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   }
 
   /** Rewrite all groups into a single compacted base group at the
-    * current schema version (tombstones dropped), committed as a new
-    * snapshot with the same epoch high-water mark. The per-batch hot
-    * path never pays this; it runs when delta groups exceed a
-    * threshold (Pipeline) or explicitly. */
-  def compact(spark: SparkSession): Unit = {
+    * current schema version, committed as a new snapshot with the same
+    * epoch high-water mark. The per-batch hot path never pays this; it
+    * runs when delta groups exceed a threshold (Pipeline) or
+    * explicitly.
+    *
+    * TOMBSTONES ARE RETAINED (with their op='D' and LSN): dropping one
+    * erases the delete's LSN, and a late lower-LSN event for the key
+    * arriving in a later epoch (bounded disorder, DLQ replay, an
+    * out-of-order multi-writer epoch) would resurrect the deleted key.
+    * `purgeTombstonesBelowLsn` is the explicit retention knob (the
+    * Kafka-compaction delete.retention / Iceberg delete-file-expiry
+    * analogue): tombstones at or below it are physically dropped —
+    * pass `snapshot.maxLsn - <your late-arrival bound>` once the
+    * delivery contract guarantees nothing older can arrive. Default
+    * Long.MinValue = purge nothing (always sound). */
+  def compact(spark: SparkSession,
+      purgeTombstonesBelowLsn: Long = Long.MinValue): Unit = {
     latest().foreach { s =>
-      // the rewrite state is PINNED to s (readAt, not read): a delta
-      // committed between here and the commit below must appear ONCE —
-      // as an appended group the validated retry stacks on top — not
-      // also be absorbed into the base (duplicate rows at equal LSN)
-      val state = readAt(spark, Some(s)).withColumn("op", lit("U"))
+      // the rewrite state is PINNED to s (reconstructAt, not read): a
+      // delta committed between here and the commit below must appear
+      // ONCE — as an appended group the validated retry stacks on top —
+      // not also be absorbed into the base (duplicate rows at equal LSN)
+      val state = reconstructAt(spark, Some(s))
+        .filter(!(col("op") === "D" && col("lsn") <= purgeTombstonesBelowLsn))
       // compaction rewrites at the current registry schema regardless of
       // the eras the deltas were written under
       val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
@@ -732,7 +756,9 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     val s = latest().getOrElse(
       throw new IllegalStateException("rebucket: table has no committed snapshot"))
     if (s.numBuckets == newBuckets) return true
-    val state = readAt(spark, Some(s)).withColumn("op", lit("U"))
+    // tombstones ride the migration (same soundness rule as compact:
+    // a dropped tombstone + a late lower-LSN row = a resurrected key)
+    val state = reconstructAt(spark, Some(s))
     val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
     val newBase = writeBucketedGroup(state, cols, newBuckets, newBuckets,
       SchemaRegistry.maxVersion, "base").toSeq
@@ -767,7 +793,8 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     * drop out of the manifest (their files become vacuum candidates for
     * expireSnapshots). Returns the compacted bucket ids (empty = no-op,
     * no new snapshot committed). */
-  def compactBuckets(spark: SparkSession, minDeltas: Int): Set[Int] = {
+  def compactBuckets(spark: SparkSession, minDeltas: Int,
+      purgeTombstonesBelowLsn: Long = Long.MinValue): Set[Int] = {
     latest() match {
       case None => Set.empty
       case Some(s) =>
@@ -780,9 +807,11 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
 
         // merged state of the hot buckets only: partition pruning keeps
         // the scan O(hot-bucket data); re-deriving bucketCol lands every
-        // row back in its (hot) bucket
-        val state = readAt(spark, Some(s), onlyBuckets = Some(hot))
-          .withColumn("op", lit("U"))
+        // row back in its (hot) bucket. Tombstones are RETAINED (op='D'
+        // + LSN) unless at/below the explicit purge horizon — see
+        // compact()'s scaladoc for the late-arrival soundness argument.
+        val state = reconstructAt(spark, Some(s), onlyBuckets = Some(hot))
+          .filter(!(col("op") === "D" && col("lsn") <= purgeTombstonesBelowLsn))
         val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
         val newBase = writeBucketedGroup(state, cols, s.numBuckets,
           math.max(hot.size, 1), SchemaRegistry.maxVersion, "base").toSeq

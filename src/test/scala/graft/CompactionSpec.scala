@@ -103,4 +103,61 @@ class CompactionSpec extends AnyFunSuite {
     control.upsert(mkBatch(hotKeys, 9000L), 4L, 1)
     assertSameState(table.read(spark), control.read(spark))
   }
+
+  test("tombstones survive compaction and rebucket: a late lower-LSN row cannot resurrect a deleted key") {
+    // the round-6 EndToEndSpec bug shape, minimized: delete at lsn 10,
+    // compaction folds, then a LATE update at lsn 5 arrives (bounded
+    // disorder / DLQ replay / out-of-order multi-writer epoch). If the
+    // sweep dropped the tombstone, the late row wins the reconstruction
+    // and the deleted key comes back from the dead.
+    def lateRow(lsn: Long) = Seq(("r", "k", "U", lsn, ts, s"c$lsn", "scala", s"late-$lsn"))
+      .toDF("repo", "path", "op", "lsn", "ts", "commit", "lang", "content")
+    def delRow(lsn: Long) = Seq(("r", "k", "D", lsn, ts, null: String, null: String, null: String))
+      .toDF("repo", "path", "op", "lsn", "ts", "commit", "lang", "content")
+
+    // full compact()
+    val d1 = TestSpark.tmpDir("cdc-tomb1") + "/t"
+    val t1 = new LakeTable(d1, numBuckets = 4)
+    t1.upsert(lateRow(1L), 0L, 1)
+    t1.upsert(delRow(10L), 1L, 1)
+    t1.compact(spark)
+    t1.upsert(lateRow(5L), 2L, 1)
+    assert(t1.read(spark).filter(col("path") === "k").isEmpty,
+      "full compact dropped the tombstone: late lsn-5 row resurrected the key")
+
+    // per-bucket compactBuckets()
+    val d2 = TestSpark.tmpDir("cdc-tomb2") + "/t"
+    val t2 = new LakeTable(d2, numBuckets = 4)
+    t2.upsert(lateRow(1L), 0L, 1)
+    t2.upsert(delRow(10L), 1L, 1)
+    assert(t2.compactBuckets(spark, minDeltas = 1).nonEmpty)
+    t2.upsert(lateRow(5L), 2L, 1)
+    assert(t2.read(spark).filter(col("path") === "k").isEmpty,
+      "bucket sweep dropped the tombstone: late lsn-5 row resurrected the key")
+
+    // online rebucket migration
+    val d3 = TestSpark.tmpDir("cdc-tomb3") + "/t"
+    val t3 = new LakeTable(d3, numBuckets = 4)
+    t3.upsert(lateRow(1L), 0L, 1)
+    t3.upsert(delRow(10L), 1L, 1)
+    assert(t3.rebucket(spark, 8))
+    t3.upsert(lateRow(5L), 2L, 1)
+    assert(t3.read(spark).filter(col("path") === "k").isEmpty,
+      "rebucket dropped the tombstone: late lsn-5 row resurrected the key")
+
+    // the EXPLICIT purge horizon is the operator's contract: at or
+    // below it, nothing older can arrive, so the tombstone may go —
+    // and a (contract-violating) later row at lsn 5 then wins, which
+    // is exactly what opting into the purge means
+    val d4 = TestSpark.tmpDir("cdc-tomb4") + "/t"
+    val t4 = new LakeTable(d4, numBuckets = 4)
+    t4.upsert(lateRow(1L), 0L, 1)
+    t4.upsert(delRow(10L), 1L, 1)
+    t4.compactBuckets(spark, minDeltas = 1, purgeTombstonesBelowLsn = 10L)
+    // tombstone physically gone from the compacted base
+    assert(new LakeTable(d4).read(spark).filter(col("path") === "k").isEmpty)
+    t4.upsert(lateRow(5L), 2L, 1)
+    assert(t4.read(spark).filter(col("path") === "k").count() == 1,
+      "purged horizon means the late row wins — the documented trade")
+  }
 }

@@ -47,4 +47,20 @@ class SubmitSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Submit.run(spark, Array("compact", "t", "2", "extra")))
   }
+
+  test("tail on an empty log dir: sniff fails fast naming --layout; explicit layout proceeds") {
+    val dir = TestSpark.tmpDir("submit-empty")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/log"))
+    // nothing to sniff -> guessing JSON would permanently break a typed
+    // producer's scans; the tail must fail fast and name the remedy
+    val ex = intercept[IllegalStateException] {
+      Submit.run(spark, Array("tail", s"$dir/log", s"$dir/t", s"$dir/ck"))
+    }
+    assert(ex.getMessage.contains("--layout"), s"remedy not named: ${ex.getMessage}")
+    // an explicit layout starts, drains the (empty) dir, exits cleanly
+    Submit.run(spark, Array("tail", s"$dir/log", s"$dir/t", s"$dir/ck",
+      "--layout", "json"))
+    assert(new graft.cdc.LakeTable(s"$dir/t").latest().isEmpty,
+      "no segments -> no commits")
+  }
 }
