@@ -13,10 +13,11 @@ import graft.cdc._
   * spark-submit --class graft.Submit graft.jar \
   *   tail <logDir> <tableDir> <checkpointDir> \
   *        [--audit DIR] [--dlq DIR] [--compact-every N] \
-  *        [--adaptive-salt [THRESHOLD]] [--max-files-per-trigger N]
-  *   compact    <tableDir> [minDeltas]
+  *        [--adaptive-salt [THRESHOLD]] [--max-files-per-trigger N] \
+  *        [--layout sniff|json|typed] [--writer ID]
+  *   compact    <tableDir> [minDeltas] [--purge-tombstones-below LSN]
   *   vacuum     <tableDir> [keep] [graceMs]
-  *   replay-dlq <dlqDir> <tableDir>
+  *   replay-dlq <dlqDir> <tableDir> [--max-driver-rows N]
   * }}}
   *
   * `tail` runs the checkpointed Structured-Streaming binlog tail with
@@ -52,7 +53,8 @@ object Submit {
   /** Dispatch on a provided session (tests call this directly). */
   def run(spark: SparkSession, args: Array[String]): Unit = args.toList match {
     case "tail" :: logDir :: tableDir :: checkpointDir :: flags =>
-      val opts = parseFlags(flags)
+      val opts = parseFlags(flags, allowed = Set("audit", "dlq", "compact-every",
+        "adaptive-salt", "max-files-per-trigger", "layout", "writer"))
       Pipeline.runStream(
         spark, logDir, tableDir, checkpointDir,
         audit = opts.get("audit").map(new Audit(_)),
@@ -73,15 +75,22 @@ object Submit {
     case "compact" :: tableDir :: rest =>
       val (pos, flagList) = rest.span(!_.startsWith("--"))
       if (pos.sizeIs > 1) throw new IllegalArgumentException(usage)
-      val opts = parseFlags(flagList)
+      val opts = parseFlags(flagList, allowed = Set("purge-tombstones-below"))
       val minDeltas = pos.headOption.map(_.toInt).getOrElse(2)
       // tombstone retention: sweeps RETAIN op='D' rows (late lower-LSN
-      // arrivals must still lose to the delete); pass the horizon
-      // explicitly once the delivery contract bounds lateness
-      val purge = opts.get("purge-tombstones-below").map(_.toLong)
-        .getOrElse(Long.MinValue)
-      val done = new LakeTable(tableDir).compactBuckets(spark, minDeltas, purge)
-      println(s"""{"job":"compact","buckets":${done.size}}""")
+      // arrivals must still lose to the delete); the explicit horizon
+      // purges them once the delivery contract bounds lateness. A
+      // retention pass must reach tombstones ALREADY folded into base
+      // groups (which a delta-threshold sweep never rewrites), so the
+      // flag switches to the FULL compact().
+      opts.get("purge-tombstones-below").map(longFlag("purge-tombstones-below")) match {
+        case Some(purge) =>
+          new LakeTable(tableDir).compact(spark, purge)
+          println(s"""{"job":"compact","purged_below":$purge}""")
+        case None =>
+          val done = new LakeTable(tableDir).compactBuckets(spark, minDeltas)
+          println(s"""{"job":"compact","buckets":${done.size}}""")
+      }
 
     case "vacuum" :: tableDir :: rest if rest.sizeIs <= 2 =>
       val keep = rest.headOption.map(_.toInt).getOrElse(1)
@@ -90,9 +99,10 @@ object Submit {
       println(s"""{"job":"vacuum","keep":$keep}""")
 
     case "replay-dlq" :: dlqDir :: tableDir :: flags =>
-      val opts = parseFlags(flags)
+      val opts = parseFlags(flags, allowed = Set("max-driver-rows"))
       val stats = new DeadLetterQueue(dlqDir).replay(spark, new LakeTable(tableDir),
-        maxDriverRows = opts.get("max-driver-rows").map(_.toLong)
+        maxDriverRows = opts.get("max-driver-rows")
+          .map(longFlag("max-driver-rows"))
           .getOrElse(DeadLetterQueue.DefaultMaxDriverRows))
       println(s"""{"job":"replay-dlq","applied":${stats.applied},""" +
         s""""remaining":${stats.remaining},"epoch":${stats.epoch.getOrElse(-1L)}}""")
@@ -101,8 +111,11 @@ object Submit {
   }
 
   /** `--k v` pairs; a flag followed by another flag (or nothing) is a
-    * bare switch and maps to "". */
-  private def parseFlags(flags: List[String]): Map[String, String] = {
+    * bare switch and maps to "". Unknown flags are REJECTED when the
+    * command supplies its allowed set — a misspelled retention flag
+    * silently running a sweep with no purge is an operator trap. */
+  private def parseFlags(flags: List[String],
+      allowed: Set[String] = Set.empty): Map[String, String] = {
     def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
       case Nil => acc
       case k :: v :: t if k.startsWith("--") && !v.startsWith("--") =>
@@ -112,6 +125,20 @@ object Submit {
       case other :: _ =>
         throw new IllegalArgumentException(s"unexpected argument '$other'\n$usage")
     }
-    go(flags, Map.empty)
+    val opts = go(flags, Map.empty)
+    if (allowed.nonEmpty) {
+      val unknown = opts.keySet -- allowed
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"unknown flag(s): ${unknown.toSeq.sorted.map("--" + _).mkString(", ")}\n$usage")
+    }
+    opts
   }
+
+  /** A flag documented to REQUIRE a value: a bare switch ("" value) or
+    * junk gets the usage error, not a bare NumberFormatException. */
+  private def longFlag(name: String)(v: String): Long =
+    try v.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"--$name requires an integer value, got '$v'\n$usage")
+    }
 }

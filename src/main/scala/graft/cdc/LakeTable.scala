@@ -810,6 +810,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
         // row back in its (hot) bucket. Tombstones are RETAINED (op='D'
         // + LSN) unless at/below the explicit purge horizon — see
         // compact()'s scaladoc for the late-arrival soundness argument.
+        // NB: the horizon here reaches only the HOT buckets this sweep
+        // rewrites; a RETENTION pass over tombstones already folded into
+        // base groups (which never reach minDeltas) is compact()'s job —
+        // the CLI's --purge-tombstones-below routes there.
         val state = reconstructAt(spark, Some(s), onlyBuckets = Some(hot))
           .filter(!(col("op") === "D" && col("lsn") <= purgeTombstonesBelowLsn))
         val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames

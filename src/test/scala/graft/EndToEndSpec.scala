@@ -32,21 +32,33 @@ class EndToEndSpec extends AnyFunSuite {
       ("Z", 900002L, ts, 1, "org/poison", "p1", null: String, """{"x":2}"""),
       ("Z", 900003L, ts, 1, "org/poison", "p2", null: String, """{"x":3}"""))
       .toDF("op", "lsn", "ts", "schemaVersion", "repo", "path", "before", "after")
+    // NB epoch ids here are ADMISSION-ordered, not segment-numbered:
+    // the file source admits by modification time, and the two
+    // rewritten segments carry the newest mtimes — the actual order is
+    // 0,1,3,4,2,5 (an out-of-order redelivery, which the engine must
+    // absorb; this very reordering is what exposed the round-6
+    // tombstone-resurrection bug). One file per segment keeps one
+    // segment per epoch.
     val seg2 = f"$dir/log/seg-${2}%05d"
     spark.read.schema(Pipeline.envelopeSchema).parquet(seg2)
       .unionByName(poison)
-      .coalesce(1) // keep one file per segment: epoch ids == segment ids
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$seg2.tmp")
     swap(seg2)
 
-    // flood: the LAST segment collapses onto 4 hot repos — the adaptive
-    // controller must be ARMED when the stream drains
+    // flood: collapses onto 4 hot repos — the adaptive controller must
+    // be ARMED when the stream drains, so this segment must be admitted
+    // LAST: pin its mtime far ahead instead of relying on rewrite order
     val seg5 = f"$dir/log/seg-${5}%05d"
     spark.read.schema(Pipeline.envelopeSchema).parquet(seg5)
       .withColumn("repo", concat(lit("org/hot-"), pmod(xxhash64(col("path")), lit(4L))))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$seg5.tmp")
     swap(seg5)
+    scala.util.Using.resource(java.nio.file.Files.walk(java.nio.file.Paths.get(seg5))) { st =>
+      st.iterator().forEachRemaining(p => java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 3600000L)))
+    }
 
     val audit = new Audit(s"$dir/audit")
     val dlq = new DeadLetterQueue(s"$dir/dlq")
@@ -70,13 +82,14 @@ class EndToEndSpec extends AnyFunSuite {
     val w = want.select(stateCols.map(col): _*)
     val extra = got.exceptAll(w)
     val missing = w.exceptAll(got)
-    if (extra.count() != 0 || missing.count() != 0) {
+    val (nExtra, nMissing) = (extra.count(), missing.count())
+    if (nExtra != 0 || nMissing != 0) {
       println("=== EXTRA in table (first 5):")
       extra.show(5, false)
       println("=== MISSING from table (first 5):")
       missing.show(5, false)
     }
-    assert(extra.count() == 0 && missing.count() == 0,
+    assert(nExtra == 0 && nMissing == 0,
       "final state diverged from the oracle fold under the everything-on tail")
 
     // quarantine holds exactly the poison

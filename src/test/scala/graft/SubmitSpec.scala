@@ -48,6 +48,40 @@ class SubmitSpec extends AnyFunSuite {
       Submit.run(spark, Array("compact", "t", "2", "extra")))
   }
 
+  test("flag hygiene + retention pass reaches base-folded tombstones") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("submit-purge")
+    // misspelled flag -> rejected, not silently ignored (a typo'd
+    // retention flag quietly running a no-purge sweep is an operator trap)
+    val ex = intercept[IllegalArgumentException](
+      Submit.run(spark, Array("compact", s"$dir/t", "--purge-tombstone-below", "5")))
+    assert(ex.getMessage.contains("unknown flag"), ex.getMessage)
+    // bare value-requiring flag -> usage error, not NumberFormatException
+    val ex2 = intercept[IllegalArgumentException](
+      Submit.run(spark, Array("compact", s"$dir/t", "--purge-tombstones-below")))
+    assert(ex2.getMessage.contains("requires an integer"), ex2.getMessage)
+
+    // a delta-threshold sweep folds a tombstone into a BASE group; the
+    // retention flag must still reach it (routes to the full compact)
+    val t = new graft.cdc.LakeTable(s"$dir/t", numBuckets = 2)
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    def row(op: String, lsn: Long) = Seq(
+      ("r", "k", op, lsn, ts0,
+        if (op == "D") null else s"c$lsn", "scala",
+        if (op == "D") null else s"body-$lsn"))
+      .toDF("repo", "path", "op", "lsn", "ts", "commit", "lang", "content")
+    t.upsert(row("U", 1L), 0L, 1)
+    t.upsert(row("D", 10L), 1L, 1)
+    Submit.run(spark, Array("compact", s"$dir/t")) // tombstone -> base (retained)
+    Submit.run(spark, Array("compact", s"$dir/t", "--purge-tombstones-below", "10"))
+    // purge really removed it: a (contract-violating) late lower-LSN row
+    // now wins — before the purge the tombstone would have beaten it
+    t.upsert(row("U", 5L), 2L, 1)
+    val k = t.read(spark).filter(org.apache.spark.sql.functions.col("path") === "k").select("lsn").collect()
+    assert(k.map(_.getLong(0)).toSeq == Seq(5L),
+      s"retention pass did not reach the base-folded tombstone: ${k.toSeq}")
+  }
+
   test("tail on an empty log dir: sniff fails fast naming --layout; explicit layout proceeds") {
     val dir = TestSpark.tmpDir("submit-empty")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/log"))
