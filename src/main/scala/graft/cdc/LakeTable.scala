@@ -237,8 +237,10 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       // legacy manifests (pre-persistence) trust the constructor default
       if (node.has("numBuckets")) node.get("numBuckets").asInt() else numBuckets,
       if (!node.has("writerEpochs")) Map.empty
-      else node.get("writerEpochs").fields().asScala
-        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+      else {
+        val we = node.get("writerEpochs")
+        we.fieldNames().asScala.map(n => n -> we.get(n).asLong()).toMap
+      })
   }
 
   /** Atomically commit a snapshot manifest: write tmp (fsync'd), then
