@@ -166,7 +166,8 @@ object Apply {
     // count the reference logs as out-of-range/fallback diagnostics
     // (TimeMultiPoint.py:312-315); LWW neutralizes them, the metric
     // makes them visible
-    val prevMaxLsn = table.latest().map(_.maxLsn).getOrElse(-1L)
+    val snap0 = table.latest()
+    val prevMaxLsn = snap0.map(_.maxLsn).getOrElse(-1L)
     val obs = org.apache.spark.sql.Observation(s"graft-epoch-$epochId-${System.nanoTime()}")
     // per-row schemaVersion is dead weight past this point (the batch
     // normalizes at the scalar batchVersion) — drop it BEFORE the
@@ -186,7 +187,7 @@ object Apply {
     // replay) skips both the quarantine write and the reduce job, same
     // fast path as without a DLQ
     val alreadyCommitted =
-      dlq.isDefined && table.latest().exists(_.watermark(writer) >= epochId)
+      dlq.isDefined && snap0.exists(_.watermark(writer) >= epochId)
     val (reduced, dlqCache) = dlq match {
       case Some(q) if !alreadyCommitted =>
         val typed = rawEvents.schema("after").dataType.isInstanceOf[StructType]
@@ -209,11 +210,20 @@ object Apply {
     // and measured a 35% throughput tax on the 16M-event fixture —
     // rows/exact-keys is both cheaper and exact.)
     val keysObs = org.apache.spark.sql.Observation(s"graft-keys-$epochId-${System.nanoTime()}")
+    // the committed high-water mark must be the max APPLIED lsn: observe
+    // it POST-quarantine (without a DLQ it equals the envelope max —
+    // the per-key max_by keeps the global max; with one, a quarantined
+    // poison event must NOT advance the mark, or late_events miscounts
+    // and a tombstone purge at `maxLsn - bound` can run while the
+    // never-applied row still waits in the DLQ). The envelope-level
+    // max_lsn stays in the lineage record as the SOURCE range scanned.
     val normalized = normalize(reduced, batchVersion)
-      .observe(keysObs, count(lit(1)).as("keys_in_batch"))
+      .observe(keysObs, count(lit(1)).as("keys_in_batch"),
+        max(col("lsn")).as("max_applied_lsn"))
     val commit =
       try table.upsert(normalized, epochId, batchVersion,
-        batchMaxLsn = obs.get.get("max_lsn").collect { case l: Long => l }.getOrElse(-1L),
+        batchMaxLsn =
+          keysObs.get.get("max_applied_lsn").collect { case l: Long => l }.getOrElse(-1L),
         writer = writer)
       finally dlqCache.foreach(_.unpersist(blocking = false))
     val tUpsert = t()

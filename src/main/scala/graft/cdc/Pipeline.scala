@@ -32,12 +32,40 @@ object Pipeline {
       case f => f
     })
 
+  /** Delivery span and per-epoch chunk — THE one definition all three
+    * consumers (withEpoch, runBatchEpochs, writeLogSegments) share, so
+    * the epoch-assignment clamp and the generation windows can never
+    * drift apart again. */
+  private def spanChunk(cfg: GenConfig, epochs: Int): (Long, Long) = {
+    val span = 2L * ChangeLogGen.physicalRows(cfg) + 2L * cfg.disorderWindow + 2L
+    (span, math.max(span / epochs, 1L))
+  }
+
+  /** Generation id-window for epoch/segment `e`: delivery chunk
+    * [e*chunk, (e+1)*chunk) - disorderWindow offset maps to physical
+    * ids in [(lo - W)/2, (hi + W)/2]. The LAST epoch's window extends
+    * to the full delivery span: withEpoch's least()-clamp assigns ALL
+    * overflow deliveries (span % epochs of them, since chunk =
+    * floor(span/epochs)) to the last epoch, and a window that stopped
+    * at (e+1)*chunk would silently NEVER GENERATE the highest-id
+    * events whenever span % epochs exceeds the 2W+6 margin — the tail
+    * of the log would vanish from both the batch replay and the
+    * materialized segment binlog (latent until epochs is large or W
+    * small; PipelineWindowSpec pins the triggering shape). */
+  private def epochIdWindow(cfg: GenConfig, epochs: Int, e: Int): (Long, Long) = {
+    val (span, chunk) = spanChunk(cfg, epochs)
+    val dLo = e.toLong * chunk - cfg.disorderWindow
+    val dHi =
+      if (e == epochs - 1) span + cfg.disorderWindow
+      else (e + 1).toLong * chunk - cfg.disorderWindow
+    ((dLo - cfg.disorderWindow) / 2 - 1, (dHi + cfg.disorderWindow) / 2 + 2)
+  }
+
   /** Epoch id of each delivered row: contiguous ranges of the delivery
     * position. With disorder, some events land one epoch later than
     * their LSN implies — the late-arrival case. */
   def withEpoch(events: DataFrame, cfg: GenConfig, epochs: Int): DataFrame = {
-    val span = 2L * ChangeLogGen.physicalRows(cfg) + 2L * cfg.disorderWindow + 2L
-    val chunk = math.max(span / epochs, 1L)
+    val (_, chunk) = spanChunk(cfg, epochs)
     events.withColumn("epoch",
       least(floor((col("delivery") + lit(cfg.disorderWindow)) / lit(chunk)), lit(epochs.toLong - 1L)))
   }
@@ -59,33 +87,28 @@ object Pipeline {
       adaptive: Option[AdaptiveSalt] = None,
       dlq: Option[DeadLetterQueue] = None): Seq[ApplyStats] = {
     val table = new LakeTable(tableDir)
-    val span = 2L * ChangeLogGen.physicalRows(cfg) + 2L * cfg.disorderWindow + 2L
-    val chunk = math.max(span / epochs, 1L)
-    val out = (0 until epochs).map { e =>
-      // delivery chunk [e*chunk, (e+1)*chunk) - disorderWindow offset
-      // maps to physical ids in [(lo - W)/2, (hi + W)/2]
-      val dLo = e.toLong * chunk - cfg.disorderWindow
-      val dHi = (e + 1).toLong * chunk - cfg.disorderWindow
-      val idLo = (dLo - cfg.disorderWindow) / 2 - 1
-      val idHi = (dHi + cfg.disorderWindow) / 2 + 2
-      val window = withEpoch(
-        ChangeLogGen.events(spark, cfg, Some((idLo, idHi))), cfg, epochs)
-      val batch = window.filter(col("epoch") === e.toLong).drop("delivery", "epoch")
-      val stats = Apply.applyEpoch(spark, table, batch, e.toLong, audit, salted,
-        adaptive = adaptive, dlq = dlq)
-      // incremental: only buckets with >= compactEvery live delta groups
-      // rewrite (deltaGroupCount >= threshold is a cheap necessary
-      // condition — per-bucket counts never exceed the group count)
-      if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) {
-        table.compactBuckets(spark, compactEvery)
-        // same cadence for the lineage side table: audit file count
-        // stays O(compactions), not O(epochs), over a long replay
-        audit.foreach(_.compactAsync(spark))
+    try {
+      (0 until epochs).map { e =>
+        val (idLo, idHi) = epochIdWindow(cfg, epochs, e)
+        val window = withEpoch(
+          ChangeLogGen.events(spark, cfg, Some((idLo, idHi))), cfg, epochs)
+        val batch = window.filter(col("epoch") === e.toLong).drop("delivery", "epoch")
+        val stats = Apply.applyEpoch(spark, table, batch, e.toLong, audit, salted,
+          adaptive = adaptive, dlq = dlq)
+        // incremental: only buckets with >= compactEvery live delta groups
+        // rewrite (deltaGroupCount >= threshold is a cheap necessary
+        // condition — per-bucket counts never exceed the group count)
+        if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) {
+          table.compactBuckets(spark, compactEvery)
+          // same cadence for the lineage side table: audit file count
+          // stays O(compactions), not O(epochs), over a long replay
+          audit.foreach(_.compactAsync(spark))
+        }
+        stats
       }
-      stats
-    }
-    audit.foreach(_.flush())
-    out
+    } finally audit.foreach(_.flush())
+    // flush in a finally (like runStream): a failing later epoch must
+    // not drop the buffered async lineage of already-committed ones
   }
 
   /** Materialize the synthetic log as `segments` parquet directories in
@@ -95,14 +118,10 @@ object Pipeline {
     * generator's natural write parallelism (bench replay layout). */
   def writeLogSegments(spark: SparkSession, cfg: GenConfig, logDir: String,
       segments: Int, filesPerSegment: Int = 1, typedPayload: Boolean = false): Unit = {
-    val span = 2L * ChangeLogGen.physicalRows(cfg) + 2L * cfg.disorderWindow + 2L
-    val chunk = math.max(span / segments, 1L)
     (0 until segments).foreach { s =>
-      val dLo = s.toLong * chunk - cfg.disorderWindow
-      val dHi = (s + 1).toLong * chunk - cfg.disorderWindow
+      val (idLo, idHi) = epochIdWindow(cfg, segments, s)
       val window = withEpoch(ChangeLogGen.events(spark, cfg,
-        Some(((dLo - cfg.disorderWindow) / 2 - 1, (dHi + cfg.disorderWindow) / 2 + 2)),
-        typedPayload = typedPayload), cfg, segments)
+        Some((idLo, idHi)), typedPayload = typedPayload), cfg, segments)
       val seg = window.filter(col("epoch") === s.toLong)
         .select(envelopeSchema.fieldNames.map(col).toSeq: _*)
       (if (filesPerSegment > 0) seg.coalesce(filesPerSegment) else seg)
@@ -125,29 +144,33 @@ object Pipeline {
       dlq: Option[DeadLetterQueue] = None,
       adaptive: Option[AdaptiveSalt] = None): Seq[ApplyStats] = {
     val table = new LakeTable(tableDir)
-    val stats = (0 until segments).map { s =>
-      val segDir = f"$logDir/seg-$s%05d"
-      // sniff the layout from the footer (one driver-side read), then
-      // scan under the matching EXPLICIT envelope schema — an
-      // inference-schema read would surface parquet timestamps as NTZ
-      // (Spark 4) and push the whole apply pipeline off its typed plan
-      val typed = spark.read.parquet(segDir)
-        .schema("after").dataType.isInstanceOf[StructType]
-      val batch = spark.read
-        .schema(if (typed) typedEnvelopeSchema else envelopeSchema)
-        .parquet(segDir)
-      // era probe from footer stats: O(files) metadata, no data scan
-      val hint = ParquetStats.maxInt(spark, segDir, "schemaVersion")
-      val st = Apply.applyEpoch(spark, table, batch, s.toLong, audit, versionHint = hint,
-        adaptive = adaptive, dlq = dlq)
-      if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) {
-        table.compactBuckets(spark, compactEvery)
-        audit.foreach(_.compactAsync(spark))
+    // sniff the layout ONCE from the first segment's footer (the layout
+    // is constant across a log — same contract runStream documents),
+    // then scan every segment under the matching EXPLICIT envelope
+    // schema: an inference-schema read would surface parquet timestamps
+    // as NTZ (Spark 4) and push the whole apply pipeline off its typed
+    // plan, and re-sniffing per segment would put O(segments) redundant
+    // driver round-trips inside the measured hot loop
+    val typed = spark.read.parquet(f"$logDir/seg-${0}%05d")
+      .schema("after").dataType.isInstanceOf[StructType]
+    val readSchema = if (typed) typedEnvelopeSchema else envelopeSchema
+    try {
+      (0 until segments).map { s =>
+        val segDir = f"$logDir/seg-$s%05d"
+        val batch = spark.read.schema(readSchema).parquet(segDir)
+        // era probe from footer stats: O(files) metadata, no data scan
+        val hint = ParquetStats.maxInt(spark, segDir, "schemaVersion")
+        val st = Apply.applyEpoch(spark, table, batch, s.toLong, audit, versionHint = hint,
+          adaptive = adaptive, dlq = dlq)
+        if (compactEvery > 0 && table.deltaGroupCount >= compactEvery) {
+          table.compactBuckets(spark, compactEvery)
+          audit.foreach(_.compactAsync(spark))
+        }
+        st
       }
-      st
-    }
-    audit.foreach(_.flush())
-    stats
+    } finally audit.foreach(_.flush())
+    // flush in a finally (like runStream/runBatchEpochs): a failing
+    // later segment must not drop committed epochs' buffered lineage
   }
 
   /** Files the file source admitted for micro-batch `batchId`, from the

@@ -50,6 +50,14 @@ class DlqSpec extends AnyFunSuite {
       ("pD", 6L, json(6), "unknown_op", 0L),
       (null, 7L, json(7), "null_key", 0L)), s"dlq contents wrong: ${q.toSeq}")
 
+    // the committed high-water mark is the max APPLIED lsn (5, pC):
+    // the quarantined events at lsn 6/7 were never applied, so they
+    // must not advance it — otherwise late_events miscounts and a
+    // tombstone purge at `maxLsn - bound` can run while the poison
+    // rows still wait in the DLQ for replay
+    assert(table.latest().get.maxLsn == 5L,
+      s"maxLsn must not include quarantined lsns: ${table.latest().get.maxLsn}")
+
     // idempotent replay of the committed epoch: no table change, no dup
     // quarantine rows, and the skip happens before any quarantine write
     val st2 = Apply.applyEpoch(spark, table, env, 0L, versionHint = Some(1), dlq = Some(dlq))
