@@ -50,12 +50,20 @@ object ExtraOps {
           count(lit(1)).as("n_events"))
     }),
 
-    // approximate distinct (HLL sketch) — engine-specific estimate, so
-    // rows-only in the driver; accuracy vs exact asserted in spec
+    // approximate distinct (HLL sketch): the ESTIMATE is engine-specific
+    // (Spark HLL++ vs DuckDB HLL), so the exact gate hashes the accuracy
+    // CONTRACT instead — exact distinct plus a boolean that each
+    // engine's own sketch lands within ±5% of it. Identical output rows
+    // iff both sketches honor the bound; the estimate itself stays
+    // spec-asserted (PlanSpec within-5%).
     "q39_approx_distinct" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .agg(
+          count_distinct(col("user_id")).as("n_users_exact"),
+          (abs(approx_count_distinct(col("user_id"), 0.02)
+              - count_distinct(col("user_id")))
+            <= lit(0.05) * count_distinct(col("user_id"))).as("within_5pct"))
     }),
 
     // flood-class polygons analogue (FloodingPolygonWriter.py:76-112):
@@ -237,6 +245,14 @@ object ExtraOps {
     "q38_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    // both engines verify their own HLL sketch against the exact count;
+    // the hashed columns (exact, bound-held) are engine-independent
+    "q39_approx_distinct" ->
+      """SELECT event_type,
+         count(DISTINCT user_id) AS n_users_exact,
+         abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+           <= 0.05 * count(DISTINCT user_id) AS within_5pct
          FROM events GROUP BY event_type""",
     // the staged layout makes path-provenance deterministic: each
     // source directory IS the row's event_type partition

