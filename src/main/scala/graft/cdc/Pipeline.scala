@@ -143,9 +143,12 @@ object Pipeline {
       compactEvery: Int = 0,
       dlq: Option[DeadLetterQueue] = None,
       adaptive: Option[AdaptiveSalt] = None): Seq[ApplyStats] = {
+    if (segments <= 0) return Seq.empty
     val table = new LakeTable(tableDir)
     // sniff the layout ONCE from the first segment's footer (the layout
-    // is constant across a log — same contract runStream documents),
+    // is constant across a log — same contract runStream documents; a
+    // mixed-layout dir violates that contract and fails at the first
+    // differing segment's scan rather than being silently coerced),
     // then scan every segment under the matching EXPLICIT envelope
     // schema: an inference-schema read would surface parquet timestamps
     // as NTZ (Spark 4) and push the whole apply pipeline off its typed

@@ -51,11 +51,13 @@ object ExtraOps {
     }),
 
     // approximate distinct (HLL sketch): the ESTIMATE is engine-specific
-    // (Spark HLL++ vs DuckDB HLL), so the exact gate hashes the accuracy
-    // CONTRACT instead — exact distinct plus a boolean that each
-    // engine's own sketch lands within ±5% of it. Identical output rows
-    // iff both sketches honor the bound; the estimate itself stays
-    // spec-asserted (PlanSpec within-5%).
+    // (Spark HLL++ vs DuckDB HLL), so the exact gate hashes the exact
+    // count plus CROSS-ENGINE AGREEMENT on the within-±5% bound — a
+    // single-engine breach flips one side's boolean and fails the hash
+    // compare. (A SIMULTANEOUS breach by both engines would agree on
+    // `false` and still hash-match; the Spark-side bound itself is
+    // hard-asserted in PlanSpec, so that case cannot pass silently on
+    // the tested fixtures.)
     "q39_approx_distinct" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(col("event_type"))

@@ -45,6 +45,11 @@ class PipelineWindowSpec extends AnyFunSuite {
     assert(a == b, "final table state must not depend on epoch chunking")
   }
 
+  test("replaySegments with zero segments is a no-op, not a scan failure") {
+    val dir = TestSpark.tmpDir("pipe-window-zero")
+    assert(Pipeline.replaySegments(spark, s"$dir/log", s"$dir/t", 0).isEmpty)
+  }
+
   test("materialized segments cover every delivered event, incl. max lsn") {
     val dir = TestSpark.tmpDir("pipe-window-seg")
     Pipeline.writeLogSegments(spark, cfg, s"$dir/log", segments = epochs)
