@@ -128,6 +128,19 @@ object LakeTable {
     * CAS uses — overridden in specs to simulate a link-less mount. */
   private[graft] var linkImpl: (Path, Path) => Unit =
     (target, src) => { Files.createLink(target, src); () }
+  /** Test seam: named crash points on the write/commit/maintenance
+    * path. A spec arms ONE name to throw, simulating a process kill at
+    * exactly that stage boundary (CrashSweepSpec drives every point and
+    * asserts resume reaches the oracle state). Production default is a
+    * no-op — one megamorphic-free function call per commit. Points:
+    * `upsert.after-write` (data group durable, nothing referenced),
+    * `commit.after-tmp` (manifest tmp durable, not published),
+    * `commit.after-publish` (published; HEAD hint + tmp cleanup lost),
+    * `compact.after-write` / `rebucket.after-write` (rewritten group
+    * durable, old manifest still current),
+    * `vacuum.after-manifest-expire` (old manifests gone, orphan data
+    * sweep not yet run). */
+  private[graft] var failpoint: String => Unit = _ => ()
   /** The writer id whose watermark is the manifest's top-level epochId
     * (the stream / segment replay — every pre-existing caller). */
   val DefaultWriter = "default"
@@ -274,6 +287,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     val tmp = manifestDir.resolve(s".tmp-${UUID.randomUUID()}.json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(obj))
     fsync(tmp)
+    LakeTable.failpoint("commit.after-tmp")
     try LakeTable.linkImpl(manifestPath(s.version), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -314,6 +328,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
         Files.move(tmp, manifestPath(s.version),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    LakeTable.failpoint("commit.after-publish")
     Files.deleteIfExists(tmp)
     fsync(manifestDir)
     writeHead(s.version)
@@ -423,6 +438,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     // scatter keys across a second bucketing scheme
     var nb = prev.map(_.numBuckets).getOrElse(numBuckets)
     var written = writeGroup(nb)
+    LakeTable.failpoint("upsert.after-write")
     val maxLsn = batchMaxLsn // evaluate the by-name once, after the write
 
     // optimistic commit: if another writer won the version CAS, re-read
@@ -764,6 +780,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
     val newBase = writeBucketedGroup(state, cols, newBuckets, newBuckets,
       SchemaRegistry.maxVersion, "base").toSeq
+    LakeTable.failpoint("rebucket.after-write")
     try {
       commitManifest(Snapshot(
         s.version + 1L, s.epochId, s.schemaVersion, newBase, 0,
@@ -821,6 +838,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
         val cols = Seq("repo", "path", "op", "lsn", "ts") ++ SchemaRegistry.currentPayloadNames
         val newBase = writeBucketedGroup(state, cols, s.numBuckets,
           math.max(hot.size, 1), SchemaRegistry.maxVersion, "base").toSeq
+        LakeTable.failpoint("compact.after-write")
 
         val kept = live.flatMap { case (g, liveBuckets) =>
           if ((liveBuckets -- hot).isEmpty) None // fully superseded
@@ -913,6 +931,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     if (vs.size <= keep) return
     val referenced = vs.takeRight(keep).flatMap(v => readManifest(v).groups.map(_.dir)).toSet
     vs.dropRight(keep).foreach(v => Files.deleteIfExists(manifestPath(v)))
+    LakeTable.failpoint("vacuum.after-manifest-expire")
     if (Files.isDirectory(dataDir)) {
       val dirs = Using.resource(Files.list(dataDir))(_.iterator().asScala.toSeq)
       dirs.foreach { d =>
