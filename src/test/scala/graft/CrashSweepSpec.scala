@@ -109,6 +109,35 @@ class CrashSweepSpec extends AnyFunSuite {
       assertVacuumReclaims(s"$dir/t", t)
     }
 
+  test("crash between quarantine write and commit: resume does not duplicate DLQ rows") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i)
+    def json(i: Int) = s"""{"commit":"c$i","lang":"en","content":"body$i"}"""
+    val base = TestSpark.tmpDir("crash-dlq")
+    val t = new LakeTable(s"$base/table")
+    val dlq = new DeadLetterQueue(s"$base/dlq")
+    val env = Seq(
+      ("U", 1L, ts(1), 1, "r1", "pA", null: String, json(1)),
+      ("U", 2L, ts(2), 1, "r1", "pB", null: String, "{not json"),
+      ("X", 3L, ts(3), 1, "r1", "pC", null: String, json(3)))
+      .toDF("op", "lsn", "ts", "schemaVersion", "repo", "path", "before", "after")
+    // the quarantine set lands BEFORE the delta write; a crash after
+    // either leaves an uncommitted epoch whose resume re-runs the
+    // quarantine as an overwrite of the same epoch directory
+    arm("upsert.after-write")
+    try intercept[Injected] {
+      Apply.applyEpoch(spark, t, env, 0L, versionHint = Some(1), dlq = Some(dlq))
+    } finally disarm()
+    val st = Apply.applyEpoch(spark, t, env, 0L, versionHint = Some(1), dlq = Some(dlq))
+    assert(st.committed)
+    val q = dlq.read(spark).select("path", "lsn", "reason").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(q.toSeq.sorted == Seq(("pB", 2L, "malformed_payload"), ("pC", 3L, "unknown_op")),
+      s"resume duplicated or lost quarantine rows: ${q.toSeq}")
+    val state = t.read(spark).select("path").as[String].collect().toSeq
+    assert(state == Seq("pA"), s"lake state wrong after DLQ crash resume: $state")
+  }
+
   test("crash at compact.after-write: head state untouched, retry compacts, vacuum reclaims") {
     val dir = TestSpark.tmpDir("crash-compact")
     val t = new LakeTable(s"$dir/t")
