@@ -174,6 +174,36 @@ class CrashSweepSpec extends AnyFunSuite {
     assertVacuumReclaims(s"$dir/t", t)
   }
 
+  // The streaming variant drives the two tightest commit boundaries
+  // through checkpoint recovery: after-tmp (epoch 2's manifest written
+  // but never published — restart must RE-APPLY the redelivered batch)
+  // and after-publish (epoch 2 committed but the HEAD hint, tmp cleanup
+  // and checkpoint all lost — restart must SKIP it idempotently, with
+  // latest() recovering by probing forward from the stale HEAD).
+  for ((point, committedAtCrash) <- Seq("commit.after-tmp" -> 1L, "commit.after-publish" -> 2L))
+    test(s"streaming: crash at $point in micro-batch 2 resumes exactly-once from checkpoint") {
+      val dir = TestSpark.tmpDir(s"crash-stream-${point.replace('.', '-')}")
+      val (logDir, tableDir, ckDir) = (s"$dir/log", s"$dir/table", s"$dir/ck")
+      Pipeline.writeLogSegments(spark, cfg, logDir, segments = epochs)
+      val hits = new java.util.concurrent.atomic.AtomicInteger()
+      LakeTable.failpoint =
+        name => if (name == point && hits.incrementAndGet() == 3) throw Injected(point)
+      val crashed =
+        try { Pipeline.runStream(spark, logDir, tableDir, ckDir); false }
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+        finally disarm()
+      assert(crashed, "injected failure must surface through the streaming query")
+      val t = new LakeTable(tableDir)
+      assert(t.latest().get.epochId == committedAtCrash,
+        s"commit visibility at the $point boundary is wrong: ${t.latest().get.epochId}")
+      Pipeline.runStream(spark, logDir, tableDir, ckDir)
+      assert(t.latest().get.epochId == epochs - 1L, "restart did not drain the log")
+      assert(t.latest().get.version == epochs.toLong,
+        s"an epoch committed twice across the restart: version ${t.latest().get.version}")
+      assert(Oracle.digest(t.read(spark), stateCols) == oracleDigest,
+        s"stream state after crash at $point + restart diverged from the oracle")
+    }
+
   test("crash at vacuum.after-manifest-expire: head intact, re-vacuum completes the sweep") {
     val dir = TestSpark.tmpDir("crash-vacuum")
     val t = new LakeTable(s"$dir/t")
