@@ -108,6 +108,25 @@ object Graft {
     Pipeline.runStream(spark, logDir, tableDir, checkpointDir,
       auditDir.map(new Audit(_)), layout = layout, writer = writer)
 
+  /** Scale-adaptive scan fan-out (guide §2.2/§2.5): CPU-dense per-row
+    * stages (tokenize + hash families, regex scans, codec decodes)
+    * inherit the SCAN's partitioning, and a small input (fewer splits
+    * than cores) would run them almost serially. Repartition up to
+    * `defaultParallelism` ONLY when the input has fewer partitions —
+    * a no-op at any real scale (a 100-TB input always has more splits
+    * than cores), so the shuffle this adds is bounded by the small-input
+    * case where it is cheap by construction. With `keys`, hash-
+    * partitions on them so a downstream groupBy on the same keys reuses
+    * the exchange (guide §2.4); the explicit partition count keeps AQE
+    * from coalescing the CPU-bound stage back down by its (tiny) byte
+    * size. */
+  private[graft] def fanOut(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keys.isEmpty) df.repartition(target)
+    else df.repartition(target, keys: _*)
+  }
+
   // ---- DataFrame operators ------------------------------------------
 
   implicit class GraftOps(private val df: DataFrame) {
@@ -406,12 +425,22 @@ object Graft {
 
     /** Exact n-gram Jaccard near-duplicate pairs with a document-
       * frequency fence: shingles appearing in more than `maxShingleDf`
-      * documents are excluded from CANDIDATE GENERATION (the self-join),
-      * capping per-shingle join fan-out at maxShingleDf² — without the
-      * fence a corpus-wide common shingle makes the join quadratic in
-      * corpus size (the 100-TB straggler case). Set sizes stay uncapped,
-      * so for corpora where no shingle exceeds the cap the result equals
-      * the unfenced exact Jaccard. */
+      * documents are excluded from CANDIDATE GENERATION, capping
+      * per-shingle pair fan-out at maxShingleDf²/2 — without the fence a
+      * corpus-wide common shingle makes candidate generation quadratic
+      * in corpus size (the 100-TB straggler case). Set sizes stay
+      * uncapped, so for corpora where no shingle exceeds the cap the
+      * result equals the unfenced exact Jaccard.
+      *
+      * Round-7: the shingle table is built by the map-only array
+      * formulation (see [[ngramShingles]]) instead of the window
+      * formulation — one full exchange + sort of the token table
+      * removed per call; the join/sizes structure is unchanged (a
+      * sizes-ride-along variant and a collect_list pair-expansion
+      * variant both measured WORSE: the former forces the shingle array
+      * through the Generate output per exploded row, the latter
+      * evaluates nested HOFs interpreted per element — guide §1.1,
+      * switch back when the empirical loop disagrees). */
     def ngramJaccardPairs(keyCol: String, textCol: String, n: Int = 3,
         minJaccard: Double = 0.2, maxShingleDf: Int = 0): DataFrame = {
       val ka = s"${keyCol}_a"
@@ -438,17 +467,28 @@ object Graft {
     }
 
     /** Distinct word-level n-gram shingles: (passthrough keyCol,
-      * shingle). Codegen path: posexplode + window lead. */
+      * shingle). Round-7 rewrite: built map-side from the split-token
+      * array — tokenize, assemble sliding n-grams, per-doc dedup
+      * (array_distinct ≡ the old global distinct, the key being part of
+      * every row) in one map stage, with [[Graft.fanOut]] supplying
+      * parallelism when the scan is split-starved. The window-lead
+      * formulation this replaces paid a full exchange + sort of the
+      * TOKEN table per call (guide §2.4 — an accidental shuffle).
+      *
+      * PLAN SHAPE CONSTRAINT (measured 40x, see OPTIMIZATION_r07.md):
+      * the array expression must stay INLINE as the explode argument
+      * and be referenced NOWHERE else — staging it through a projection
+      * attribute, or referencing it a second time (e.g. a size() in the
+      * same select), makes GenerateExec carry/recompute the whole array
+      * per exploded OUTPUT row: O(shingles²) per doc. */
     def ngramShingles(keyCol: String, textCol: String, n: Int = 3): DataFrame = {
-      val w = Window.partitionBy(col(keyCol)).orderBy(col("_p"))
-      val leads = (1 until n).map(i => lead(col("_w0"), i).over(w).as(s"_w$i"))
-      val words = (0 until n).map(i => col(s"_w$i"))
-      df.select(col(keyCol), posexplode(split(trim(lower(col(textCol))), "\\s+")))
-        .withColumnRenamed("pos", "_p").withColumnRenamed("col", "_w0")
-        .select(col(keyCol) +: col("_w0") +: leads: _*)
-        .filter(words.last.isNotNull)
-        .select(col(keyCol), concat_ws(" ", words: _*).as("shingle"))
-        .distinct()
+      Graft.fanOut(df, col(keyCol))
+        .select(col(keyCol), split(trim(lower(col(textCol))), "\\s+").as("_ws"))
+        .select(col(keyCol), explode(array_distinct(
+          when(size(col("_ws")) >= n,
+            transform(sequence(lit(0), size(col("_ws")) - n), i =>
+              concat_ws(" ", (0 until n).map(j => element_at(col("_ws"), i + lit(j + 1))): _*)))
+            .otherwise(array().cast("array<string>")))).as("shingle"))
     }
 
     /** MinHash signatures over n-gram shingles: (keyCol, sig:array<long>).
@@ -546,13 +586,19 @@ object Graft {
         // rides along (as `_old`: present exactly once per node, on the
         // self row of the union) so convergence is observable in pass
         // (2) without a separate join+count job per round.
-        val prop = Materialize.loopState(edges
+        // prop is referenced twice by the jump join below: a lazy
+        // persist makes it compute once WITHOUT a separate
+        // materialization job (round-7 — the eager loopState here cost
+        // one extra job per round; the round's lineage cut happens once,
+        // on `next`, which is all the plan-growth bound needs)
+        val prop = edges
           .join(labels.select(col("node").as("_ca"), col("component")), "_ca")
           .select(col("_cb").as("node"), col("component"),
             lit(null).cast(labels.schema("component").dataType).as("_old"))
           .union(labels.withColumn("_old", col("component")))
           .groupBy(col("node")).agg(min(col("component")).as("component"),
-            max(col("_old")).as("_old")))
+            max(col("_old")).as("_old"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // (2) pointer-jump: compress label through its own label; the
         // changed-label count is collected by observe() DURING the same
         // materialization action — no extra job for convergence.

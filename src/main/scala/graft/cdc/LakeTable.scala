@@ -144,6 +144,32 @@ object LakeTable {
   /** The writer id whose watermark is the manifest's top-level epochId
     * (the stream / segment replay — every pre-existing caller). */
   val DefaultWriter = "default"
+
+  /** Proxy keys for deterministic one-bucket-per-partition placement:
+    * entry p is an integer whose Spark hash-partition id over `parts`
+    * partitions is exactly p (same Murmur3+pmod the planner's
+    * HashPartitioning.partitionIdExpression uses). `repartition(parts,
+    * element_at(proxy, bucket%parts + 1))` then lands bucket b in
+    * partition b%parts — the range partitioner's placement without its
+    * boundary-sampling pass. Expected search cost is parts·H(parts)
+    * hash evaluations, done once per distinct `parts` per JVM. */
+  private val proxyCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private[cdc] def partitionProxy(parts: Int): Array[Long] =
+    proxyCache.computeIfAbsent(parts, _ => {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+      val out = new Array[Long](parts)
+      val found = new Array[Boolean](parts)
+      var remaining = parts
+      var v = 0L
+      while (remaining > 0) {
+        val p = Pmod(new Murmur3Hash(Seq(Literal(v))), Literal(parts))
+          .eval().asInstanceOf[Int]
+        if (!found(p)) { found(p) = true; out(p) = v; remaining -= 1 }
+        v += 1L
+      }
+      out
+    })
 }
 
 final class LakeTable(val root: String, val numBuckets: Int = 32) {
@@ -374,25 +400,31 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
     * upsert, full compact, rebucket, per-bucket compact). The dir name
     * is a FULL UUID: these dirs are written with mode(Overwrite), so a
     * truncated-prefix collision with a live referenced group would
-    * silently destroy committed data. Range-partitioned on the bucket
-    * value (~one bucket per task/file; plain hash repartition
-    * balls-in-bins idles ~1/e of the write cores), persisted first
-    * because the range partitioner SAMPLES ITS CHILD — unpersisted,
-    * the boundary-sketch job re-runs the whole upstream pipeline
-    * (~+20%/epoch measured). Returns None for a file-less (empty)
-    * group, which must never be referenced (unreadable schema). */
+    * silently destroy committed data.
+    *
+    * Partitioned one bucket value per write task via a DETERMINISTIC
+    * proxy key (round-7, guide §2.4): bucket values are the known
+    * integers 0..nb-1, so the range partitioner's boundary-sampling job
+    * (and the MEMORY_AND_DISK persist of the whole normalized batch it
+    * forced — the sampler re-runs its child otherwise, ~+20%/epoch
+    * measured when unpersisted) buys nothing; [[LakeTable.partitionProxy]]
+    * precomputes, per target partition, an integer whose murmur3 hash
+    * lands there, so a plain hash repartition places bucket b exactly
+    * in partition b%parts — no sampling pass, no cache, ONE pass over
+    * the batch, same one-bucket-per-task/file layout (plain hash
+    * repartition of the raw bucket value balls-in-bins idles ~1/e of
+    * the write cores). Returns None for a file-less (empty) group,
+    * which must never be referenced (unreadable schema). */
   private def writeBucketedGroup(src: DataFrame, cols: Seq[String], nb: Int,
       parts: Int, groupSchemaVersion: Int, kind: String): Option[FileGroup] = {
     val suffix = if (kind == "base") "-base" else ""
     val groupDir = s"data/${UUID.randomUUID().toString}$suffix"
-    val withBucket = src.select((cols.map(col) :+ bucketColFor(nb)): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      withBucket
-        .repartitionByRange(parts, col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$root/$groupDir")
-    } finally withBucket.unpersist(blocking = false)
+    val proxy = element_at(
+      lit(LakeTable.partitionProxy(parts)), (pmod(col("bucket"), lit(parts)) + 1).cast("int"))
+    src.select((cols.map(col) :+ bucketColFor(nb)): _*)
+      .repartition(parts, proxy)
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$root/$groupDir")
     fsyncTree(Paths.get(root, groupDir)) // data durable BEFORE the manifest
     if (hasParquet(Paths.get(root, groupDir)))
       Some(FileGroup(groupDir, groupSchemaVersion, kind))

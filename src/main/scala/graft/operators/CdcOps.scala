@@ -52,16 +52,25 @@ object CdcOps {
     import graft.cdc.{Apply, LakeTable}
     val scratch = graft.Scratch.dirFor("fold", dir)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    // round-7: the payload goes in as a TYPED struct (the engine's typed
+    // binlog layout) — the fold is a synthetic source, so serializing it
+    // to JSON only to from_json it back in normalize was a pure
+    // round-trip tax; identical values either way (strings pass through)
     val env = ev(s, dir).select(
       lit("U").as("op"), col("event_id").as("lsn"),
       col("ts").cast("timestamp").as("ts"), lit(1).as("schemaVersion"),
       concat(lit("r"), (col("user_id") % 10).cast("string")).as("repo"),
       concat(lit("p"), col("user_id").cast("string")).as("path"),
       lit(null).cast("string").as("before"),
-      to_json(struct(
+      struct(
         lit("c0").as("commit"), lit("en").as("lang"),
-        concat(lit("v"), col("event_id").cast("string")).as("content"))).as("after"))
-    val table = new LakeTable(scratch)
+        concat(lit("v"), col("event_id").cast("string")).as("content")).as("after"))
+    // round-7: 8 buckets, not the 32-bucket default — the fold holds a
+    // few hundred keys, and bucket count is a per-table layout knob
+    // sized to data volume (guide §6 file sizing: 32 near-empty bucket
+    // dirs × 3 epochs was 3/4 file-and-fsync overhead); reconstruction
+    // semantics are bucket-count-independent.
+    val table = new LakeTable(scratch, numBuckets = 8)
     (0 until 3).foreach(e =>
       Apply.applyEpoch(s, table, env.filter(pmod(col("lsn"), lit(3)) === e),
         e.toLong, versionHint = Some(1)))

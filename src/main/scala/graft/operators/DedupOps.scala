@@ -75,6 +75,16 @@ object DedupOps {
     // family makes the whole pipeline — signatures, banding, candidate
     // join, estimate — reproducible in DuckDB: EXACT driver gate, plus
     // the recall spec vs the exact Jaccard oracle.
+    // round-7: the signature RIDES through the candidate join (one row
+    // per doc per band — the q30 embed-rides-along pattern) instead of
+    // being joined back onto the pair list twice, the similarity
+    // estimate is evaluated BEFORE the dedup so the distinct groups by
+    // (long, long, double) scalars — array grouping keys force an
+    // interpreted sort-based aggregate — and the component compare is a
+    // codegen'd element_at sum, not an interpreted zip_with/aggregate
+    // HOF. est_sim is a pure function of the pair, so distinct-then-
+    // filter is unchanged. Two sort-merge joins removed (plan diff in
+    // plans/r07/q26_*).
     "q26_dedup_minhash_lsh" -> ((s, dir) => {
       val sig = graft.Materialize(signatures(docs(s, dir)))
       val rowsPerBand = MinhashK / Bands
@@ -82,17 +92,16 @@ object DedupOps {
         posexplode(transform(sequence(lit(0), lit(Bands - 1)), bnd =>
           md5(concat_ws("|", slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-      val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-      val candidates = a.join(b, Seq("band", "bucket"))
+      val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      val matches = (0 until MinhashK).map(i =>
+        when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
+          .otherwise(0)).reduce(_ + _)
+      a.join(b, Seq("band", "bucket"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      candidates
-        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .withColumn("est_sim",
-          round(aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, v) => acc + v).cast("double") / MinhashK.toDouble, 4))
+        .select(col("doc_a"), col("doc_b"),
+          round(matches.cast("double") / MinhashK.toDouble, 4).as("est_sim"))
+        .distinct()
         .filter(col("est_sim") >= 0.25)
         .select(col("doc_a"), col("doc_b"), col("est_sim"))
     }),
@@ -125,7 +134,7 @@ object DedupOps {
           .otherwise(-1)).as(s"v$b"))
       val assembled = (0 until SimhashBits).map(b =>
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
-      val sigd = graft.Materialize(docs(s, dir)
+      val sigd = graft.Materialize(graft.Graft.fanOut(docs(s, dir), col("doc_id"))
         .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
         .select(col("doc_id"),
           conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  // javax.imageio defaults to a temp-FILE-backed stream cache even for
+  // in-memory byte-array streams — one temp file created and deleted per
+  // encode/decode. Pure overhead for this path (round-7; q35 decodes
+  // thousands of in-memory payloads per run).
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
   final case class MediaFeature(
       doc_id: Long, media_type: String, n_bytes: Long, n_frames: Int,
@@ -125,8 +131,12 @@ object MultimodalOps {
     // recomputation)
     "q35_multimodal_features" -> ((s, dir) => {
       import s.implicits._
-      val media = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      // fanOut (round-7): the codec round trip is the cost and runs in
+      // the scan stage — a single-split input would encode+decode every
+      // payload on one core (no-op at scale)
+      val media = graft.Graft.fanOut(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")))
+        .as[(Long, String)]
         .map { case (id, text) =>
           val mt = Seq("image", "audio", "video")((id % 3).toInt)
           val payload =

@@ -188,14 +188,17 @@ object Relational {
         .withColumn("last_value", round(col("last_value"), 6))
     }),
 
-    // dedup keep-first per key (TimeMultiPoint.py:309-318)
+    // dedup keep-first per key (TimeMultiPoint.py:309-318). round-7:
+    // the keep-first row is min(struct(ts, event_id)) — lexicographic
+    // struct min ≡ the old row_number-over-(ts, event_id) pick — so the
+    // reduction gets map-side partial aggregation (one survivor per key
+    // per task crosses the shuffle) instead of shuffling + sorting
+    // every event (guide §2.3).
     "q16_dedup_first" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type"), col("event_id"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("_f"))
+        .select(col("user_id"), col("event_type"), col("_f.event_id").as("event_id"))
     }),
 
     // §2.4 temporal as-of join (find_time_index analogue,
@@ -264,7 +267,9 @@ object Relational {
         col("n_name"),
         (pmod(col("n_nationkey").cast("double") * 37.0, lit(160.0)) - 80.0).as("s_lat"),
         (pmod(col("n_nationkey").cast("double") * 91.0, lit(360.0)) - 180.0).as("s_lon"))
-      val cust = t(s, dir, "customer").select(
+      // fanOut (round-7): the broadcast product + haversine runs in the
+      // scan stage — single-split input would evaluate it on one core
+      val cust = graft.Graft.fanOut(t(s, dir, "customer"), col("c_custkey")).select(
         col("c_custkey"),
         (pmod(col("c_custkey").cast("double") * 17.0, lit(160.0)) - 80.0).as("c_lat"),
         (pmod(col("c_custkey").cast("double") * 53.0, lit(360.0)) - 180.0).as("c_lon"))

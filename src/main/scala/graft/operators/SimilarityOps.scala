@@ -15,8 +15,11 @@ import graft.Graft._
   */
 object SimilarityOps {
 
+  // fanOut (round-7): signature/centroid kernels (dot products over the
+  // whole vector per plane/centroid) run in the scan stage — a
+  // single-split input would evaluate them on one core (no-op at scale)
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.Graft.fanOut(s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
 
   val NumQueries = 10
@@ -58,11 +61,15 @@ object SimilarityOps {
         .select(col("band"), col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      // cos is computed BEFORE the candidate dedup (round-7): it is a
+      // pure function of the pair, and grouping by (long, long, double)
+      // scalars keeps the distinct a codegen'd hash aggregate — array
+      // grouping keys (v, qv) forced an interpreted sort-based one
       banded.join(broadcast(queries), Seq("band", "bucket"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("v"), col("qv"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          CosineSimilarity(col("v"), col("qv")).as("cos"))
         .distinct()
-        .withColumn("cos", CosineSimilarity(col("v"), col("qv")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= TopK)
         .select(col("query_id"), col("neighbor_id"), col("rk").cast("long").as("rk"))
@@ -129,10 +136,13 @@ object SimilarityOps {
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       val a = banded.select(col("band"), col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
       val b = banded.select(col("band"), col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+      // round-7: cos before the dedup (pure function of the pair) so the
+      // distinct groups by scalars — see q29
       a.join(b, Seq("band", "bucket"))
         .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"), col("va"), col("vb")).distinct()
-        .withColumn("cos", CosineSimilarity(col("va"), col("vb")))
+        .select(col("vec_a"), col("vec_b"),
+          CosineSimilarity(col("va"), col("vb")).as("cos"))
+        .distinct()
         .filter(col("cos") >= NeardupThreshold)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
     })

@@ -61,10 +61,15 @@ object StencilOps {
     // neighbors per probe, single-shuffle union+window both directions
     "q54_interp_linear_axis" -> ((s, dir) => {
       // unique (key, ts) series: keep-first by event_id (same reduction
-      // the reference's duplicate-timestep drop applies)
+      // the reference's duplicate-timestep drop applies). round-7: as a
+      // min(struct(event_id, value)) aggregate — lexicographically ≡ the
+      // window keep-first pick (event_id is unique) — so the reduction
+      // gets map-side partial aggregation instead of a full shuffle+sort
+      // of every event (guide §2.3).
       val ev = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
-        .dedupKeepFirst(Seq("user_id", "ts"), Seq(col("event_id")))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(struct(col("event_id"), col("value"))).as("_f"))
+        .select(col("user_id"), col("ts"), col("_f.value").as("value"))
       Relational.probeGrid(s, dir)
         .interpolateLinearAt(ev, "user_id", "probe_ts", "ts", "value")
         .select(col("user_id"), col("probe_ts"),
@@ -76,9 +81,11 @@ object StencilOps {
     // non-uniform Catmull-Rom segment — see Graft.interpolateCubicAt).
     // Exact-gated: both engines evaluate the identical double formula.
     "q64_interp_cubic_axis" -> ((s, dir) => {
+      // same agg-based keep-first as q54 (round-7)
       val ev = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
-        .dedupKeepFirst(Seq("user_id", "ts"), Seq(col("event_id")))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(struct(col("event_id"), col("value"))).as("_f"))
+        .select(col("user_id"), col("ts"), col("_f.value").as("value"))
       Relational.probeGrid(s, dir)
         .interpolateCubicAt(ev, "user_id", "probe_ts", "ts", "value")
         .select(col("user_id"), col("probe_ts"),

@@ -34,12 +34,14 @@ object TextOps {
           round(avg(length(col("text"))), 4).as("avg_chars"))
     }),
 
-    // quality scoring: length / punctuation ratio / stopword ratio
+    // quality scoring: length / punctuation ratio / stopword ratio.
+    // fanOut (round-7): the regex scans are the cost and are map-only —
+    // a split-starved scan would run them serially (no-op at scale).
     "q21_text_quality" -> ((s, dir) => {
       val toks = tokenCount(col("text"))
       val punct = regexp_count(col("text"), lit("[\\p{Punct}]"))
       val stop = markers(col("text"), langMarkers("en"))
-      docs(s, dir)
+      graft.Graft.fanOut(docs(s, dir))
         .select(
           col("doc_id"),
           toks.cast("long").as("n_tokens"),
@@ -49,8 +51,9 @@ object TextOps {
     }),
 
     // n-gram-heuristic language ID + confusion matrix vs the labeled lang
+    // fanOut (round-7): 24 regex alternation scans per row, map-only
     "q22_text_langid" -> ((s, dir) => {
-      val scored = docs(s, dir)
+      val scored = graft.Graft.fanOut(docs(s, dir))
         .withColumn("s_en", markers(col("text"), langMarkers("en")))
         .withColumn("s_fr", markers(col("text"), langMarkers("fr")))
         .withColumn("s_de", markers(col("text"), langMarkers("de")))
@@ -140,7 +143,7 @@ object TextOps {
         .otherwise(col("text"))
       val urlRe = "https?://[^ ]+"
       val mailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      docs(s, dir)
+      graft.Graft.fanOut(docs(s, dir))
         .select(col("doc_id"), planted.as("_t"))
         .select(col("doc_id"),
           regexp_count(col("_t"), lit(urlRe)).cast("long").as("n_urls"),
@@ -168,19 +171,23 @@ object TextOps {
 
     // within-document repetition ratio (the Gopher-rules repetition
     // signal): fraction of duplicate word bigrams per doc — high values
-    // flag boilerplate/spam for the quality filter. One explode + one
-    // hash aggregate; distinct-bigram count is per-doc, never global.
+    // flag boilerplate/spam for the quality filter. Round-7 rewrite:
+    // both counts are PER-DOC quantities, so they come straight off the
+    // per-row bigram array (size / size-of-array_distinct) — the
+    // explode + window + hash-aggregate pipeline (two exchanges of the
+    // bigram table) collapses to a shuffle-FREE map stage; docs with
+    // fewer than 2 words drop out exactly as the null-lead filter did.
     "q59_repetition" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
-      val bg = docs(s, dir)
-        .select(col("doc_id"), posexplode(split(trim(lower(col("text"))), "\\s+")))
-        .withColumnRenamed("pos", "_p").withColumnRenamed("col", "_w0")
-        .withColumn("_w1", lead(col("_w0"), 1).over(w))
-        .filter(col("_w1").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("_w0"), col("_w1")).as("bg"))
-      bg.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("bg")).as("n_distinct"))
+      graft.Graft.fanOut(docs(s, dir))
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("_ws"))
+        .filter(size(col("_ws")) >= 2)
+        .select(col("doc_id"),
+          transform(sequence(lit(0), size(col("_ws")) - 2), i =>
+            concat_ws(" ", element_at(col("_ws"), i + lit(1)),
+              element_at(col("_ws"), i + lit(2)))).as("_bg"))
+        .select(col("doc_id"),
+          size(col("_bg")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("_bg"))).cast("long").as("n_distinct"))
         .withColumn("rep_ratio",
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams").cast("double"), 6))
     })

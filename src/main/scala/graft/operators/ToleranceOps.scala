@@ -71,21 +71,26 @@ object ToleranceOps {
           col("nearest_z_idx"))
     }),
 
-    // §2.9 nearest-within-tolerance time interpolation + fallback flag
+    // §2.9 nearest-within-tolerance time interpolation + fallback flag.
+    // round-7: the nearest candidate is picked with min(struct(|Δt|,
+    // ts, event_id, value)) — lexicographically identical to the old
+    // row_number-over-(|Δt|, ts, event_id) pick (the sort key is unique
+    // per candidate, so `value` never decides) — because the aggregate
+    // gets map-side PARTIAL aggregation: candidates collapse to one row
+    // per (user, probe) per task before the shuffle, where the window
+    // shuffled and sorted every candidate row (guide §2.3).
     "q47_interp_nearest" -> ((s, dir) => {
       val probes = Relational.probeGrid(s, dir)
         .withColumn("_pus", unix_micros(col("probe_ts").cast("timestamp")))
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("value"), col("event_id"))
         .withColumn("_eus", unix_micros(col("ts").cast("timestamp")))
-      val w = Window.partitionBy(col("user_id"), col("probe_ts"))
-        .orderBy(col("_ad"), col("ts"), col("event_id"))
       val best = probes
         .bandedToleranceJoin(ev, Seq("user_id"), "_pus", "_eus", TimeDeltaUs.toDouble)
-        .withColumn("_ad", abs(col("_eus") - col("_pus")))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("user_id"), col("probe_ts"), col("value"))
+        .groupBy(col("user_id"), col("probe_ts"))
+        .agg(min(struct(abs(col("_eus") - col("_pus")).as("_ad"),
+          col("ts"), col("event_id"), col("value"))).as("_b"))
+        .select(col("user_id"), col("probe_ts"), col("_b.value").as("value"))
       probes.select(col("user_id"), col("probe_ts"))
         .join(best, Seq("user_id", "probe_ts"), "left")
         .select(col("user_id"), col("probe_ts"),
@@ -99,7 +104,11 @@ object ToleranceOps {
         .select((col("s_suppkey").cast("double") * 1.6 - 80.0).as("g_lat")).distinct()
       val lonAxis = t(s, dir, "part")
         .select(((col("p_partkey") % 180).cast("double") * 2.0 - 180.0).as("g_lon")).distinct()
-      val cust = t(s, dir, "customer").select(
+      // fanOut (round-7): the query×axis products below are evaluated in
+      // the stage that scans `customer` — a single-split scan would run
+      // the whole ~15M-row product on one core (no-op at scale); hash
+      // by c_custkey so the argmin aggregates reuse the exchange
+      val cust = graft.Graft.fanOut(t(s, dir, "customer"), col("c_custkey")).select(
         col("c_custkey"),
         (pmod(col("c_custkey").cast("double") * 17.0, lit(160.0)) - 80.0).as("c_lat"),
         (pmod(col("c_custkey").cast("double") * 53.0, lit(360.0)) - 180.0).as("c_lon"))
