@@ -571,10 +571,16 @@ object Graft {
       * `spark.graft.materialize=checkpoint` on a real cluster. */
     def connectedComponents(srcCol: String, dstCol: String,
         maxIter: Int = 50): DataFrame = {
+      // the symmetrization union references the input pair frame TWICE —
+      // without a persist the whole upstream pair pipeline runs twice
+      // inside the edges job (round-7; measured on q57, where the pair
+      // generation is the dominant cost)
+      val pairsOnce = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edges = Materialize.loopState(
-        df.select(col(srcCol).as("_ca"), col(dstCol).as("_cb"))
-          .union(df.select(col(dstCol).as("_ca"), col(srcCol).as("_cb")))
+        pairsOnce.select(col(srcCol).as("_ca"), col(dstCol).as("_cb"))
+          .union(pairsOnce.select(col(dstCol).as("_ca"), col(srcCol).as("_cb")))
           .distinct())
+      pairsOnce.unpersist(blocking = false)
       // init: label = min(self, neighbors); every node appears as _ca
       var labels = Materialize.loopState(edges.groupBy(col("_ca").as("node"))
         .agg(least(first(col("_ca")), min(col("_cb"))).as("component")))

@@ -84,6 +84,11 @@ object TextOps {
         .withColumn("_rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("_rn") === 1).drop("_rn")
+      // NOT materialized (round-7 negative result): scored feeds both
+      // the pair generation and the final aggregate, but persisting it
+      // (text column included) measured WORSE than recomputing the
+      // window+regex pass — the cache write of the corpus text costs
+      // more than the recompute it saves
       val scored = uniq
         .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
         .withColumn("quality", qualityScore(col("text")))
