@@ -74,12 +74,22 @@ object StreamingOps {
       outputMode: String = "append",
       maxFilesPerTrigger: Int = 1): DataFrame = {
     val name = s"graft_stream_${System.nanoTime()}"
+    // fast scratch for the staged source AND the checkpoint: tmpfs when
+    // available (round-7 — the same scratch policy graft.Bench uses for
+    // spark.local.dir; the default temporary checkpoint lands on the
+    // java.io.tmpdir disk and its offset/commit/state fsync churn is
+    // pure overhead for a bounded drive-to-completion run)
+    val scratchBase = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    }
     // the file stream source requires a DIRECTORY base path — stage a
     // single-file source into a temp dir
     val src = {
       val p = java.nio.file.Paths.get(sourceDir)
       if (java.nio.file.Files.isRegularFile(p)) {
-        val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
+        val d = java.nio.file.Files.createTempDirectory(scratchBase, "graft-stream-src")
         java.nio.file.Files.copy(p, d.resolve(p.getFileName))
         d.toString
       } else sourceDir
@@ -87,8 +97,11 @@ object StreamingOps {
     val in = spark.readStream.schema(sourceSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(src)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(scratchBase, "graft-stream-ckpt")
     val q = transform(in).writeStream
       .format("memory").queryName(name).outputMode(outputMode)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -97,6 +110,18 @@ object StreamingOps {
     // from its scheduler thread (it corrupted round-1's bench stderr).
     // The bounded query is done — shut the maintenance pool down.
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    // an EXPLICIT checkpoint is not auto-deleted on stop (temporary ones
+    // are) — reclaim it, or repeated bounded runs leak tmpfs
+    rmTree(ckpt)
     spark.table(name)
   }
+
+  private def rmTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+        st.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
 }
