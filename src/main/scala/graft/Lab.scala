@@ -178,6 +178,35 @@ object Lab {
             noop(base.select(col("doc_id"), explode(guarded).as("shingle")))
           }
         }
+      case "q48" =>
+        val cust0 = spark.read.parquet(s"$sfDir/customer.parquet")
+        val latAxis = spark.read.parquet(s"$sfDir/supplier.parquet")
+          .select((col("s_suppkey").cast("double") * 1.6 - 80.0).as("g_lat")).distinct()
+        val lonAxis = spark.read.parquet(s"$sfDir/part.parquet")
+          .select(((col("p_partkey") % 180).cast("double") * 2.0 - 180.0).as("g_lon")).distinct()
+        val cust = graft.Graft.fanOut(cust0, col("c_custkey")).select(
+          col("c_custkey"),
+          (pmod(col("c_custkey").cast("double") * 17.0, lit(160.0)) - 80.0).as("c_lat"),
+          (pmod(col("c_custkey").cast("double") * 53.0, lit(360.0)) - 180.0).as("c_lon"))
+        (1 to 3).foreach { r =>
+          time(s"[$r] q48 current (2-pass x2 axes)")(
+            noop(graft.operators.ToleranceOps.all("q48_quick_nn")(spark, sfDir)))
+          spark.catalog.clearCache()
+          time(s"[$r] q48 min-struct (1-pass x2 axes)") {
+            val bl = cust.crossJoin(broadcast(latAxis))
+              .groupBy(col("c_custkey"))
+              .agg(min(struct(abs(col("c_lat") - col("g_lat")).as("d"), col("g_lat"))).as("_b"))
+              .select(col("c_custkey"), col("_b.g_lat").as("g_lat"))
+            val bo = cust.crossJoin(broadcast(lonAxis))
+              .groupBy(col("c_custkey"))
+              .agg(min(struct(abs(col("c_lon") - col("g_lon")).as("d"), col("g_lon"))).as("_b"))
+              .select(col("c_custkey"), col("_b.g_lon").as("g_lon"))
+            noop(cust.join(bl, "c_custkey").join(bo, "c_custkey")
+              .select(col("c_custkey"), col("g_lat"), col("g_lon"),
+                round(graft.functions.ColumnFns.haversineKm(
+                  col("c_lat"), col("c_lon"), col("g_lat"), col("g_lon")), 4).as("dist_km")))
+          }
+        }
       case "md5" =>
         // raw md5 throughput: 4.2M short-string md5s in a projection
         (1 to 3).foreach { r =>

@@ -112,39 +112,29 @@ object ToleranceOps {
         col("c_custkey"),
         (pmod(col("c_custkey").cast("double") * 17.0, lit(160.0)) - 80.0).as("c_lat"),
         (pmod(col("c_custkey").cast("double") * 53.0, lit(360.0)) - 180.0).as("c_lon"))
-      // per-axis argmin in TWO HASH-AGG PASSES per axis: (1) min |diff|
-      // per query point (map-side partial agg over the broadcast
-      // product — plain double buffer, hash-aggregatable), (2) re-probe
-      // the broadcast axis for the rows achieving that min and take
-      // min(axis) — np.argmin first-index tie semantics. Both window
-      // ranking and min_by-over-struct formulations degrade to a full
-      // SORT of the query x axis product (struct agg buffers are not
-      // hash-aggregatable) and were 3-6x slower at sf0.1. Shuffles stay
-      // O(query points); the product is never shuffled.
-      //
-      // INVARIANT (recompute equality): pass 2 re-evaluates `d` and
-      // filters d === best with EXACT double equality. This is sound
-      // because both passes evaluate the SAME Catalyst expression over
-      // the same input rows — IEEE doubles recompute bit-identically.
-      // If a codegen/fusion change ever broke that, query points would
-      // DROP OUT (no row passes the filter), never silently shift — the
-      // failure mode ToleranceSpec's every-query-point-retained check
-      // catches (round-2 verdict "what's wrong" #3).
-      def axisArgmin(q: DataFrame, idCol: String, keep: Seq[String], qCol: String,
+      // per-axis argmin in ONE pass per axis (round-7):
+      // min(struct(|diff|, axis)) — lexicographic struct min = min
+      // distance, ties broken by min(axis), i.e. EXACTLY the previous
+      // two-pass semantics (min |d|, then min axis among the achievers;
+      // np.argmin first-index tie behavior). |d| comes from abs(), so
+      // it is never -0.0 and the double ordering inside the struct
+      // comparison coincides with the = comparison the old pass-2
+      // filter used. The round-2 measurement that rejected struct aggs
+      // here predates fanOut: with the product stage single-threaded,
+      // the sort-based partial agg lost to two hash-agg passes; 32-way,
+      // one product pass + per-task sort beats two product passes
+      // (measured ~15-20% + half the jobs, Lab "q48" A/B). Shuffles
+      // stay O(query points); the product is never shuffled.
+      def axisArgmin(q: DataFrame, idCol: String, qCol: String,
           axis: DataFrame, aCol: String): DataFrame = {
-        val d = abs(col(qCol) - col(aCol))
-        val best = q.crossJoin(broadcast(axis))
-          .groupBy(col(idCol)).agg(min(d).as("_bd"))
-        q.join(best, idCol)
-          .crossJoin(broadcast(axis))
-          .filter(d === col("_bd"))
-          .groupBy((keep :+ qCol).distinct.map(col): _*)
-          .agg(min(col(aCol)).as(aCol))
+        q.crossJoin(broadcast(axis))
+          .groupBy(col(idCol))
+          .agg(min(struct(abs(col(qCol) - col(aCol)).as("_d"), col(aCol))).as("_b"))
+          .select(col(idCol), col(s"_b.$aCol").as(aCol))
       }
-      val withLat = graft.Materialize(axisArgmin(cust, "c_custkey", Seq("c_custkey", "c_lat", "c_lon"),
-        "c_lat", latAxis, "g_lat"))
-      axisArgmin(withLat, "c_custkey", Seq("c_custkey", "c_lat", "c_lon", "g_lat"),
-        "c_lon", lonAxis, "g_lon")
+      val bestLat = axisArgmin(cust, "c_custkey", "c_lat", latAxis, "g_lat")
+      val bestLon = axisArgmin(cust, "c_custkey", "c_lon", lonAxis, "g_lon")
+      cust.join(bestLat, "c_custkey").join(bestLon, "c_custkey")
         .select(col("c_custkey"), col("g_lat"), col("g_lon"),
           round(haversineKm(col("c_lat"), col("c_lon"), col("g_lat"), col("g_lon")), 4)
             .as("dist_km"))
