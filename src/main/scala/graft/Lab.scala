@@ -207,6 +207,40 @@ object Lab {
                   col("c_lat"), col("c_lon"), col("g_lat"), col("g_lon")), 4).as("dist_km")))
           }
         }
+      case "q52asg" =>
+        // A/B: the two-pass max-cosine/min-cid centroid assignment vs a
+        // single-pass max(struct(cos, -cid)) over the same n x K
+        // product (the q48 question re-asked for the IVF assignment:
+        // does one SortAggregate product pass beat two hash-agg product
+        // passes + the extra e-join, now that fanOut parallelizes the
+        // product stage?)
+        val e = graft.Graft.fanOut(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), col("vec_id"))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val seeds = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        import graft.functions.CosineSimilarity
+        (1 to 3).foreach { r =>
+          time(s"[$r] assign two-pass (current)") {
+            val prod = e.crossJoin(broadcast(seeds))
+              .withColumn("_cos", CosineSimilarity(col("v"), col("cv")))
+            val best = prod.groupBy(col("vec_id")).agg(max(col("_cos")).as("_bc"))
+            val cids = e.join(best, "vec_id")
+              .crossJoin(broadcast(seeds))
+              .filter(CosineSimilarity(col("v"), col("cv")) === col("_bc"))
+              .groupBy(col("vec_id")).agg(min(col("cid")).as("cid"))
+            noop(e.join(cids, "vec_id").select(col("vec_id"), col("cid"), col("v")))
+          }
+          time(s"[$r] assign min-struct (1 product pass)") {
+            val cids = e.crossJoin(broadcast(seeds))
+              .groupBy(col("vec_id"))
+              .agg(max(struct(
+                CosineSimilarity(col("v"), col("cv")).as("_c"),
+                (-col("cid")).as("_nc"))).as("_b"))
+              .select(col("vec_id"), (-col("_b._nc")).as("cid"))
+            noop(e.join(cids, "vec_id").select(col("vec_id"), col("cid"), col("v")))
+          }
+        }
       case "md5" =>
         // raw md5 throughput: 4.2M short-string md5s in a projection
         (1 to 3).foreach { r =>

@@ -179,24 +179,29 @@ object SimilarityOps {
     (assignToCentroids(e, centroids), centroids)
   }
 
-  /** Nearest-centroid assignment via the two-pass hash-agg argmax (the
-    * q48 pattern: plain double agg buffers, map-side combine; a
-    * min_by-over-struct would SortAggregate the n x K product).
-    *
-    * INVARIANT (recompute equality): pass 2 re-evaluates the cosine and
-    * filters === max with exact double equality — sound because both
-    * passes run the same codegen'd expression over the same rows. A
-    * divergence would DROP vectors from the assignment (never shift
-    * them silently); QueriesSpec asserts every corpus vector is
-    * assigned exactly once. */
+  /** Nearest-centroid assignment in ONE pass over the n x K product
+    * (round-7, the q48 pattern): max(struct(cos, -cid)) — lexicographic
+    * struct max = max cosine, ties broken by max(-cid) = min(cid),
+    * i.e. exactly the previous two-pass semantics (max cosine, then
+    * min cid among the achievers; the tie-break the DuckDB oracle
+    * expresses as `c = bc` + min(cid)). The earlier measurement that
+    * rejected struct aggs here predates fanOut: single-threaded, the
+    * sort-based partial agg lost to two hash-agg passes; 32-way, one
+    * product pass + per-task sort beats two product passes AND drops
+    * one O(n) join of the embeddings table (Lab "q52asg" interleaved
+    * A/B: 30-45% warm, 3x cold). Only corner vs the old `=== max`
+    * filter: a max-cosine tie between bitwise 0.0 and -0.0 (struct
+    * ordering is Double.compare, SQL equality treats them equal) —
+    * requires two exactly-zero cosines for the same vector, which the
+    * deterministic gate corpora never produce; QueriesSpec still
+    * asserts every corpus vector is assigned exactly once. */
   private def assignToCentroids(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val prod = e.crossJoin(broadcast(centroids))
-      .withColumn("_cos", CosineSimilarity(col("v"), col("cv")))
-    val best = prod.groupBy(col("vec_id")).agg(max(col("_cos")).as("_bc"))
-    val cids = e.join(best, "vec_id")
-      .crossJoin(broadcast(centroids))
-      .filter(CosineSimilarity(col("v"), col("cv")) === col("_bc"))
-      .groupBy(col("vec_id")).agg(min(col("cid")).as("cid"))
+    val cids = e.crossJoin(broadcast(centroids))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        CosineSimilarity(col("v"), col("cv")).as("_c"),
+        (-col("cid")).as("_nc"))).as("_b"))
+      .select(col("vec_id"), (-col("_b._nc")).as("cid"))
     e.join(cids, "vec_id").select(col("vec_id"), col("cid"), col("v"))
   }
 
