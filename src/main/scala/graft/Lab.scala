@@ -241,6 +241,41 @@ object Lab {
             noop(e.join(cids, "vec_id").select(col("vec_id"), col("cid"), col("v")))
           }
         }
+      case "q48u" =>
+        // A/B: current q48 (two axis products, two aggs, 3-way SMJ
+        // join-back) vs a fused tagged-union product (ONE broadcast
+        // product, ONE agg pass with two conditional min(struct)
+        // buffers, grouped by the full customer tuple so nothing needs
+        // joining back)
+        val latAxis = spark.read.parquet(s"$sfDir/supplier.parquet")
+          .select((col("s_suppkey").cast("double") * 1.6 - 80.0).as("g_lat")).distinct()
+        val lonAxis = spark.read.parquet(s"$sfDir/part.parquet")
+          .select(((col("p_partkey") % 180).cast("double") * 2.0 - 180.0).as("g_lon")).distinct()
+        val cust = graft.Graft.fanOut(
+          spark.read.parquet(s"$sfDir/customer.parquet"), col("c_custkey")).select(
+          col("c_custkey"),
+          (pmod(col("c_custkey").cast("double") * 17.0, lit(160.0)) - 80.0).as("c_lat"),
+          (pmod(col("c_custkey").cast("double") * 53.0, lit(360.0)) - 180.0).as("c_lon"))
+        val hav = graft.functions.ColumnFns.haversineKm _
+        (1 to 3).foreach { r =>
+          time(s"[$r] q48 current (2 products + join-back)")(
+            noop(graft.operators.ToleranceOps.all("q48_quick_nn")(spark, sfDir)))
+          time(s"[$r] q48 fused union product (1 pass, no joins)") {
+            val axes = latAxis.select(lit(0L).as("_ax"), col("g_lat").as("_g"))
+              .unionByName(lonAxis.select(lit(1L).as("_ax"), col("g_lon").as("_g")))
+            noop(cust.crossJoin(broadcast(axes))
+              .groupBy(col("c_custkey"), col("c_lat"), col("c_lon"))
+              .agg(
+                min(when(col("_ax") === 0, struct(
+                  abs(col("c_lat") - col("_g")).as("_d"), col("_g").as("g_lat")))).as("_bl"),
+                min(when(col("_ax") === 1, struct(
+                  abs(col("c_lon") - col("_g")).as("_d"), col("_g").as("g_lon")))).as("_bo"))
+              .select(col("c_custkey"), col("_bl.g_lat").as("g_lat"),
+                col("_bo.g_lon").as("g_lon"),
+                round(hav(col("c_lat"), col("c_lon"), col("_bl.g_lat"),
+                  col("_bo.g_lon")), 4).as("dist_km")))
+          }
+        }
       case "md5" =>
         // raw md5 throughput: 4.2M short-string md5s in a projection
         (1 to 3).foreach { r =>

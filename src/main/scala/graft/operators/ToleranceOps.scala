@@ -112,32 +112,39 @@ object ToleranceOps {
         col("c_custkey"),
         (pmod(col("c_custkey").cast("double") * 17.0, lit(160.0)) - 80.0).as("c_lat"),
         (pmod(col("c_custkey").cast("double") * 53.0, lit(360.0)) - 180.0).as("c_lon"))
-      // per-axis argmin in ONE pass per axis (round-7):
-      // min(struct(|diff|, axis)) — lexicographic struct min = min
-      // distance, ties broken by min(axis), i.e. EXACTLY the previous
-      // two-pass semantics (min |d|, then min axis among the achievers;
-      // np.argmin first-index tie behavior). |d| comes from abs(), so
-      // it is never -0.0 and the double ordering inside the struct
-      // comparison coincides with the = comparison the old pass-2
-      // filter used. The round-2 measurement that rejected struct aggs
-      // here predates fanOut: with the product stage single-threaded,
-      // the sort-based partial agg lost to two hash-agg passes; 32-way,
-      // one product pass + per-task sort beats two product passes
-      // (measured ~15-20% + half the jobs, Lab "q48" A/B). Shuffles
-      // stay O(query points); the product is never shuffled.
-      def axisArgmin(q: DataFrame, idCol: String, qCol: String,
-          axis: DataFrame, aCol: String): DataFrame = {
-        q.crossJoin(broadcast(axis))
-          .groupBy(col(idCol))
-          .agg(min(struct(abs(col(qCol) - col(aCol)).as("_d"), col(aCol))).as("_b"))
-          .select(col(idCol), col(s"_b.$aCol").as(aCol))
-      }
-      val bestLat = axisArgmin(cust, "c_custkey", "c_lat", latAxis, "g_lat")
-      val bestLon = axisArgmin(cust, "c_custkey", "c_lon", lonAxis, "g_lon")
-      cust.join(bestLat, "c_custkey").join(bestLon, "c_custkey")
-        .select(col("c_custkey"), col("g_lat"), col("g_lon"),
-          round(haversineKm(col("c_lat"), col("c_lon"), col("g_lat"), col("g_lon")), 4)
-            .as("dist_km"))
+      // Both per-axis argmins in ONE product pass (round-7, twice
+      // refined): per axis the pick is min(struct(|diff|, axis)) —
+      // lexicographic struct min = min distance, ties broken by
+      // min(axis), i.e. EXACTLY the original two-pass semantics
+      // (min |d|, then min axis among the achievers; np.argmin
+      // first-index tie behavior; |d| comes from abs() so it is never
+      // -0.0 and the struct's double ordering coincides with the
+      // two-pass = filter). The two axis tables ride ONE broadcast as
+      // a tagged union, each axis aggregated by its own conditional
+      // min(struct) buffer (min ignores the other tag's null rows), so
+      // the query set crosses ONE product and ONE aggregation instead
+      // of two products plus a 3-way join-back — grouping by the full
+      // derived customer tuple makes the join-back unnecessary, and
+      // hashpartitioning(c_custkey) from fanOut still satisfies the
+      // grouping, so no exchange is added. Per-task partial
+      // aggregation keeps the shuffle O(query points); the product
+      // rows (unchanged in total count: n x (A+B)) are never shuffled.
+      // Interleaved Lab "q48u" A/B: fused wins 5/6 pairs, median
+      // 0.88 s vs 2.12 s (the earlier per-axis variant's remaining
+      // cost was the two aggregate jobs + the SMJ join-back).
+      val axes = latAxis.select(lit(0L).as("_ax"), col("g_lat").as("_g"))
+        .unionByName(lonAxis.select(lit(1L).as("_ax"), col("g_lon").as("_g")))
+      cust.crossJoin(broadcast(axes))
+        .groupBy(col("c_custkey"), col("c_lat"), col("c_lon"))
+        .agg(
+          min(when(col("_ax") === 0, struct(
+            abs(col("c_lat") - col("_g")).as("_d"), col("_g").as("g_lat")))).as("_bl"),
+          min(when(col("_ax") === 1, struct(
+            abs(col("c_lon") - col("_g")).as("_d"), col("_g").as("g_lon")))).as("_bo"))
+        .select(col("c_custkey"), col("_bl.g_lat").as("g_lat"),
+          col("_bo.g_lon").as("g_lon"),
+          round(haversineKm(col("c_lat"), col("c_lon"), col("_bl.g_lat"),
+            col("_bo.g_lon")), 4).as("dist_km"))
     }),
 
     // §2.4 grid-pair positional zip join
