@@ -276,6 +276,41 @@ object Lab {
                   col("_bo.g_lon")), 4).as("dist_km")))
           }
         }
+      case "q47u" =>
+        // A/B: current q47 (inner banded join -> agg -> LEFT join-back
+        // to retain unmatched probes) vs a LEFT banded join with the
+        // delta residual moved into a conditional min(struct) — the
+        // join-back and its exchanges vanish; unmatched probes ride the
+        // null-extended rows into the same aggregate
+        val deltaUs = 7200L * 1000000L
+        val probes0 = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("user_id")).distinct()
+          .select(col("user_id"), explode(expr(
+            "sequence(TIMESTAMP_NTZ '2024-01-02 00:00:00', TIMESTAMP_NTZ '2024-01-30 00:00:00', INTERVAL 6 HOURS)"))
+            .as("probe_ts"))
+          .withColumn("_pus", unix_micros(col("probe_ts").cast("timestamp")))
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+          .withColumn("_eus", unix_micros(col("ts").cast("timestamp")))
+        def bin47(c: org.apache.spark.sql.Column) =
+          floor(c / lit(deltaUs.toDouble)).cast("long")
+        (1 to 3).foreach { r =>
+          time(s"[$r] q47 current (inner banded + join-back)")(
+            noop(graft.operators.ToleranceOps.all("q47_interp_nearest")(spark, sfDir)))
+          time(s"[$r] q47 left banded + conditional agg (no join-back)") {
+            val l = probes0.withColumn("_tbin", explode(array(
+              bin47(col("_pus")) - 1, bin47(col("_pus")), bin47(col("_pus")) + 1)))
+            val rr = ev.withColumn("_tbin", bin47(col("_eus")))
+            noop(l.join(rr, Seq("user_id", "_tbin"), "left")
+              .groupBy(col("user_id"), col("probe_ts"))
+              .agg(min(when(abs(col("_eus") - col("_pus")) <= lit(deltaUs.toDouble),
+                struct(abs(col("_eus") - col("_pus")).as("_ad"),
+                  col("ts"), col("event_id"), col("value")))).as("_b"))
+              .select(col("user_id"), col("probe_ts"),
+                round(col("_b.value"), 6).as("near_value"),
+                when(col("_b").isNotNull, lit(1)).otherwise(lit(0)).as("matched")))
+          }
+        }
       case "md5" =>
         // raw md5 throughput: 4.2M short-string md5s in a projection
         (1 to 3).foreach { r =>

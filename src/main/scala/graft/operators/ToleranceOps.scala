@@ -72,30 +72,44 @@ object ToleranceOps {
     }),
 
     // §2.9 nearest-within-tolerance time interpolation + fallback flag.
-    // round-7: the nearest candidate is picked with min(struct(|Δt|,
-    // ts, event_id, value)) — lexicographically identical to the old
-    // row_number-over-(|Δt|, ts, event_id) pick (the sort key is unique
-    // per candidate, so `value` never decides) — because the aggregate
-    // gets map-side PARTIAL aggregation: candidates collapse to one row
-    // per (user, probe) per task before the shuffle, where the window
-    // shuffled and sorted every candidate row (guide §2.3).
+    // round-7, twice refined: the nearest candidate is picked with
+    // min(struct(|Δt|, ts, event_id, value)) — lexicographically
+    // identical to the old row_number-over-(|Δt|, ts, event_id) pick
+    // (the sort key is unique per candidate, so `value` never decides)
+    // — because the aggregate gets map-side PARTIAL aggregation:
+    // candidates collapse to one row per (user, probe) per task before
+    // the shuffle, where the window shuffled and sorted every candidate
+    // row (guide §2.3). Then the join-back was removed: the banded join
+    // is inlined as a LEFT join on (user, bin) with the ±delta residual
+    // moved INTO the conditional min (out-of-delta and null-extended
+    // rows yield a null struct, which min ignores), so unmatched probes
+    // ride the same aggregate with _b = null instead of being restored
+    // by a second probes join — one SMJ + two exchanges of the probe
+    // grid gone (interleaved Lab "q47u" A/B: fused wins 3/3,
+    // 0.71-0.82 s vs 1.47-1.77 s warm). The shared bandedToleranceJoin
+    // operator keeps its inner-join contract; this call-site mirrors
+    // its lossless ±1-bin expansion (any row within ±delta of _pus
+    // lies in bins floor(_pus/delta) ± 1).
     "q47_interp_nearest" -> ((s, dir) => {
       val probes = Relational.probeGrid(s, dir)
         .withColumn("_pus", unix_micros(col("probe_ts").cast("timestamp")))
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("value"), col("event_id"))
         .withColumn("_eus", unix_micros(col("ts").cast("timestamp")))
-      val best = probes
-        .bandedToleranceJoin(ev, Seq("user_id"), "_pus", "_eus", TimeDeltaUs.toDouble)
+      def bin(c: org.apache.spark.sql.Column) =
+        floor(c / lit(TimeDeltaUs.toDouble)).cast("long")
+      probes
+        .withColumn("_tbin", explode(array(
+          bin(col("_pus")) - 1, bin(col("_pus")), bin(col("_pus")) + 1)))
+        .join(ev.withColumn("_tbin", bin(col("_eus"))),
+          Seq("user_id", "_tbin"), "left")
         .groupBy(col("user_id"), col("probe_ts"))
-        .agg(min(struct(abs(col("_eus") - col("_pus")).as("_ad"),
-          col("ts"), col("event_id"), col("value"))).as("_b"))
-        .select(col("user_id"), col("probe_ts"), col("_b.value").as("value"))
-      probes.select(col("user_id"), col("probe_ts"))
-        .join(best, Seq("user_id", "probe_ts"), "left")
+        .agg(min(when(abs(col("_eus") - col("_pus")) <= lit(TimeDeltaUs.toDouble),
+          struct(abs(col("_eus") - col("_pus")).as("_ad"),
+            col("ts"), col("event_id"), col("value")))).as("_b"))
         .select(col("user_id"), col("probe_ts"),
-          round(col("value"), 6).as("near_value"),
-          when(col("value").isNotNull, lit(1)).otherwise(lit(0)).as("matched"))
+          round(col("_b.value"), 6).as("near_value"),
+          when(col("_b").isNotNull, lit(1)).otherwise(lit(0)).as("matched"))
     }),
 
     // §2.4 "quick" NN: per-axis argmin on a regular grid
