@@ -57,18 +57,29 @@ object ToleranceOps {
       val probes = levels.select(col("cell")).distinct()
         .select(col("cell"),
           explode(array(Seq(5.25, 17.6, 33.8, 49.9, 60.0).map(lit): _*)).as("probe_depth"))
-      val agg = probes
-        .bandedToleranceJoin(levels, Seq("cell"), "probe_depth", "z", DepthDelta)
+      // out-of-range probes stay, with 0 candidates (the reference logs
+      // a warning and returns an empty candidate set, :284-287) — via a
+      // LEFT banded join with the ±delta residual moved into the
+      // conditional aggregates (the q47 rewrite): count(when(cond, 1))
+      // reads 0 and min_by skips null orderings for unmatched probes,
+      // so no second probes join restores them. min_by is KEPT (same
+      // ordering expression over the same candidate set = identical
+      // tie behavior as the inner-join formulation); the call-site
+      // mirrors bandedToleranceJoin's lossless ±1-bin expansion.
+      def bin(c: org.apache.spark.sql.Column) =
+        floor(c / lit(DepthDelta)).cast("long")
+      val cond = abs(col("z") - col("probe_depth")) <= lit(DepthDelta)
+      probes
+        .withColumn("_tbin", explode(array(
+          bin(col("probe_depth")) - 1, bin(col("probe_depth")),
+          bin(col("probe_depth")) + 1)))
+        .join(levels.withColumn("_tbin", bin(col("z"))),
+          Seq("cell", "_tbin"), "left")
         .groupBy(col("cell"), col("probe_depth"))
         .agg(
-          count(lit(1)).as("n_candidates"),
-          min_by(col("z_idx"), abs(col("z") - col("probe_depth"))).as("nearest_z_idx"))
-      // out-of-range probes stay, with 0 candidates (the reference logs
-      // a warning and returns an empty candidate set, :284-287)
-      probes.join(agg, Seq("cell", "probe_depth"), "left")
-        .select(col("cell"), col("probe_depth"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-          col("nearest_z_idx"))
+          count(when(cond, lit(1))).as("n_candidates"),
+          min_by(col("z_idx"),
+            when(cond, abs(col("z") - col("probe_depth")))).as("nearest_z_idx"))
     }),
 
     // §2.9 nearest-within-tolerance time interpolation + fallback flag.
