@@ -134,6 +134,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p65.contains("*("), "q65 not in whole-stage codegen")
   }
 
+  test("round-7 fused single-pass shapes: q45/q47/q48 one join, q52 one product per assignment") {
+    // the round-7 rewrites each replaced a two-pass/join-back plan with
+    // a single pass; a regression (a re-probe filter or an
+    // unmatched-row join-back creeping back in) shows up as extra join
+    // nodes — pin the counts
+    def joins(p: String): Int =
+      "HashJoin|SortMergeJoin|NestedLoopJoin|CartesianProduct".r.findAllIn(p).size
+    val p45 = planOf(SparkEntry.queries("q45_level_match")(spark, sf))
+    assert(joins(p45) == 1, s"q45 must be one banded LEFT join, got ${joins(p45)}:\n${p45.take(2000)}")
+    val p47 = planOf(SparkEntry.queries("q47_interp_nearest")(spark, sf))
+    assert(joins(p47) == 1, s"q47 must be one banded LEFT join, got ${joins(p47)}:\n${p47.take(2000)}")
+    val p48 = planOf(SparkEntry.queries("q48_quick_nn")(spark, sf))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p48).size == 1,
+      s"q48 must cross ONE tagged-union axis product:\n${p48.take(2000)}")
+    assert(joins(p48) == 1, s"q48 must have no join-back, got ${joins(p48)}")
+    // q52: two Lloyd assignments at ONE product each + the probe/search
+    // products; the two-pass form would add 2 more products and 2 more
+    // embeddings joins
+    val p52 = planOf(SparkEntry.queries("q52_ann_ivf")(spark, sf))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p52).size <= 5,
+      s"q52 assignment re-probe products returned:\n${p52.take(2000)}")
+  }
+
   test("q39 approx distinct within 5% of exact") {
     // the gated output asserts its own contract per group...
     val gated = SparkEntry.queries("q39_approx_distinct")(spark, sf)

@@ -112,10 +112,10 @@ class ToleranceSpec extends AnyFunSuite {
     }
   }
 
-  test("q48 two-pass argmin retains every query point (recompute equality)") {
-    // the pass-2 `d === min(d)` filter depends on bit-identical
-    // recomputation of the same codegen'd expression; a divergence
-    // would DROP customers (never shift them) — pin the invariant
+  test("q48 fused argmin retains every query point exactly once") {
+    // every customer must survive the tagged-union product aggregation
+    // with exactly one row — a malformed tag condition or an axis with
+    // no rows would DROP customers (never shift them) — pin the invariant
     val sf = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("q48_quick_nn")(spark, sf)
     val customers = spark.read.parquet(s"$sf/customer.parquet").count()
